@@ -1,0 +1,52 @@
+"""JSON config/result helpers (reference parity: core/utils.h:296-344,
+core/utils.cpp:139-164)."""
+from __future__ import annotations
+
+import json
+from typing import Any, Dict
+
+import numpy as np
+
+
+def load_json(path: str) -> Dict[str, Any]:
+    with open(path, "r") as fp:
+        return json.load(fp)
+
+
+def save_json(obj: Dict[str, Any], path: str, indent: int = 2) -> None:
+    with open(path, "w") as fp:
+        json.dump(obj, fp, indent=indent)
+
+
+def merge_json(a: Dict[str, Any], b: Dict[str, Any]) -> Dict[str, Any]:
+    """Recursively merge b into a, in place (reference MergeJson: keys of b
+    overwrite a unless both sides are objects, utils.cpp:139-146)."""
+    if not isinstance(a, dict) or not isinstance(b, dict):
+        return a
+    for key, val in b.items():
+        if isinstance(a.get(key), dict) and isinstance(val, dict):
+            merge_json(a[key], val)
+        else:
+            a[key] = val
+    return a
+
+
+def matrix_from_json(v: Dict[str, Any], key: str, rows: int = 3, cols: int = 4,
+                     layout: str = "one_dim") -> np.ndarray:
+    """Read a rows x cols matrix stored under `key` (utils.h:305-322).
+
+    layout: "one_dim" (flat row-major list — the alignment.json / result.json
+    convention), "row_major" (list of rows) or "col_major" (list of cols).
+    """
+    raw = v[key]
+    if layout == "one_dim":
+        return np.asarray(raw, dtype=np.float64)[: rows * cols].reshape(rows, cols)
+    arr = np.asarray(raw, dtype=np.float64)
+    if layout == "row_major":
+        return arr[:rows, :cols]
+    return arr[:cols, :rows].T
+
+
+def matrix_to_json(d: Dict[str, Any], key: str, m: np.ndarray) -> None:
+    """Write matrix as a flat row-major list (utils.h:333-339)."""
+    d[key] = [float(x) for x in np.asarray(m, dtype=np.float64).ravel()]
