@@ -1,0 +1,183 @@
+"""Edge maps and gradient kernels.
+
+Reference parity: render/shaders/edge_detection.frag (3x3 neighborhood
+average-absolute-difference on linearized depth with soft threshold
+[0.05, 0.10] and a 5-pixel border guard). TPU-first: the op is a pure
+stencil, expressed both as fused XLA shifts (`depth_edge`) and as a Pallas
+VMEM kernel batched over pose hypotheses (`depth_edge_pallas`) — the
+throughput-critical inner loop of object-pose likelihood evaluation.
+
+Divergence from the reference renderer: our rasterizer produces *linear*
+depth directly (no OpenGL nonlinear z-buffer), so `depth_edge` takes metric
+depth with `inf`/<=0 marking background. `linearize_gl_depth` reproduces
+the GL depth-buffer transform (edge_detection.frag:33-36) for parity tests
+against GL-convention data.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+THRESH_LOW = 0.05   # edge_detection.frag:14
+THRESH_HIGH = 0.10  # edge_detection.frag:15
+BORDER = 5          # edge_detection.frag:43-44
+
+
+def linearize_gl_depth(z: jnp.ndarray, z_near: float, z_far: float) -> jnp.ndarray:
+    """GL depth-buffer value in [0,1] -> metric depth; z==1 (far plane /
+    background) -> -1 (edge_detection.frag:33-36)."""
+    lin = 2.0 * z_near * z_far / (z_far + z_near - (2.0 * z - 1.0) * (z_far - z_near))
+    return jnp.where(z == 1.0, -1.0, lin)
+
+
+def soft_threshold(value: jnp.ndarray, lo: float = THRESH_LOW,
+                   hi: float = THRESH_HIGH) -> jnp.ndarray:
+    """<lo -> 0, >=hi -> 1, else linear ramp (edge_detection.frag:22-26)."""
+    return jnp.clip((value - lo) / (hi - lo), 0.0, 1.0)
+
+
+def _edge_from_linear(v: jnp.ndarray, lo: float, hi: float) -> jnp.ndarray:
+    """Core stencil on a linear-depth image v (H, W); background <= 0."""
+    H, W = v.shape[-2:]
+
+    def sh(dy, dx):
+        # shift with edge replication; border is masked out anyway
+        return jnp.roll(v, (-dy, -dx), axis=(-2, -1))
+
+    # frag indices: value[i] at (pos.x + ox*dx, pos.y + oy*dy) where
+    # x ~ cols. delta = .25*(|v1-v7| + |v5-v3| + |v0-v8| + |v2-v6|)
+    # v1=(x-1,y), v7=(x+1,y); v5=(x,y+1), v3=(x,y-1); diagonals.
+    delta = 0.25 * (
+        jnp.abs(sh(0, -1) - sh(0, 1))
+        + jnp.abs(sh(1, 0) - sh(-1, 0))
+        + jnp.abs(sh(-1, -1) - sh(1, 1))
+        + jnp.abs(sh(1, -1) - sh(-1, 1))
+    )
+    out = soft_threshold(delta, lo, hi)
+    out = jnp.where(v > 0, out, 0.0)  # background (frag:60)
+
+    row = jnp.arange(H)[:, None]
+    col = jnp.arange(W)[None, :]
+    # frag border guard in normalized coords: pos < 5*d or > 1 - 5*d
+    inside = ((col >= BORDER) & (col <= W - 1 - BORDER)
+              & (row >= BORDER) & (row <= H - 1 - BORDER))
+    return jnp.where(inside, out, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("lo", "hi"))
+def depth_edge(depth: jnp.ndarray, lo: float = THRESH_LOW,
+               hi: float = THRESH_HIGH) -> jnp.ndarray:
+    """Edge map from linear depth (..., H, W); background: <=0 or inf."""
+    v = jnp.where(jnp.isfinite(depth) & (depth > 0), depth, -1.0)
+    fn = _edge_from_linear
+    for _ in range(depth.ndim - 2):
+        fn = jax.vmap(fn, in_axes=(0, None, None))
+    return fn(v, lo, hi)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: one grid step per batch element (pose hypothesis), image
+# resident in VMEM, shifts as static slices.
+# ---------------------------------------------------------------------------
+
+def _edge_kernel(v_ref, out_ref, *, lo: float, hi: float):
+    v = v_ref[0]
+    H, W = v.shape
+    v = jnp.where(v > 0, v, -1.0)
+
+    z = jnp.zeros((1, W), v.dtype)
+    up = jnp.concatenate([v[1:], z], axis=0)        # v shifted up (y+1)
+    dn = jnp.concatenate([z, v[:-1]], axis=0)       # y-1
+    zc = jnp.zeros((H, 1), v.dtype)
+    rt = jnp.concatenate([v[:, 1:], zc], axis=1)    # x+1
+    lf = jnp.concatenate([zc, v[:, :-1]], axis=1)   # x-1
+
+    ul = jnp.concatenate([dn[:, 1:], zc], axis=1)   # (x+1, y-1)... see below
+    # diagonals: (x-1,y-1)-(x+1,y+1) and (x-1,y+1)-(x+1,y-1)
+    d00 = jnp.concatenate([zc, dn[:, :-1]], axis=1)   # x-1, y-1
+    d11 = jnp.concatenate([up[:, 1:], zc], axis=1)    # x+1, y+1
+    d01 = jnp.concatenate([zc, up[:, :-1]], axis=1)   # x-1, y+1
+    d10 = jnp.concatenate([dn[:, 1:], zc], axis=1)    # x+1, y-1
+    del ul
+
+    delta = 0.25 * (jnp.abs(lf - rt) + jnp.abs(up - dn)
+                    + jnp.abs(d00 - d11) + jnp.abs(d01 - d10))
+    out = jnp.clip((delta - lo) / (hi - lo), 0.0, 1.0)
+    out = jnp.where(v > 0, out, 0.0)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    inside = ((col >= BORDER) & (col <= W - 1 - BORDER)
+              & (row >= BORDER) & (row <= H - 1 - BORDER))
+    out_ref[0] = jnp.where(inside, out, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("lo", "hi", "interpret"))
+def depth_edge_pallas(depth: jnp.ndarray, lo: float = THRESH_LOW,
+                      hi: float = THRESH_HIGH,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Batched Pallas edge kernel: depth (B, H, W) linear metric depth."""
+    squeeze = depth.ndim == 2
+    if squeeze:
+        depth = depth[None]
+    B, H, W = depth.shape
+    v = jnp.where(jnp.isfinite(depth) & (depth > 0), depth, -1.0).astype(jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_edge_kernel, lo=lo, hi=hi),
+        grid=(B,),
+        in_specs=[pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, H, W), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+        interpret=interpret,
+    )(v)
+    return out[0] if squeeze else out
+
+
+# ---------------------------------------------------------------------------
+# Frontend gradient kernels (for corner detection / photometric tracking)
+# ---------------------------------------------------------------------------
+
+SOBEL_X = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], jnp.float32) / 8.0
+SOBEL_Y = SOBEL_X.T
+
+
+@jax.jit
+def sobel_gradients(image: jnp.ndarray):
+    """(H, W) float image -> (gx, gy), same shape, replicate padding."""
+    img = image.astype(jnp.float32)[None, None]
+
+    def conv(k):
+        return jax.lax.conv_general_dilated(
+            img, k[None, None], window_strides=(1, 1), padding=((1, 1), (1, 1))
+        )[0, 0]
+
+    return conv(SOBEL_X), conv(SOBEL_Y)
+
+
+@functools.partial(jax.jit, static_argnames=("window",))
+def shi_tomasi_response(image: jnp.ndarray, window: int = 5) -> jnp.ndarray:
+    """Min-eigenvalue corner response (the frontend's detector score).
+
+    lambda_min of the structure tensor summed over a `window` box; computed
+    in closed form: 0.5*(a+c - sqrt((a-c)^2 + 4b^2)).
+    """
+    gx, gy = sobel_gradients(image)
+    a, b, c = gx * gx, gx * gy, gy * gy
+
+    k = jnp.ones((1, 1, window, window), jnp.float32)
+
+    def box(x):
+        return jax.lax.conv_general_dilated(
+            x[None, None], k, window_strides=(1, 1),
+            padding=((window // 2,) * 2, (window // 2,) * 2))[0, 0]
+
+    A, B, C = box(a), box(b), box(c)
+    disc = jnp.sqrt(jnp.maximum((A - C) ** 2 + 4.0 * B * B, 0.0))
+    return 0.5 * (A + C - disc)
