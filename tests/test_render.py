@@ -1,0 +1,167 @@
+"""Rasterizer tests: analytic depth checks, binned-vs-brute equivalence,
+mask/edge parity semantics (reference: render/renderer.cpp)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from visma_tpu.render import Intrinsics, Renderer, rasterize_depth, \
+    rasterize_depth_brute, to_gl_depth
+from visma_tpu.image.edges import linearize_gl_depth
+
+INTR = Intrinsics(fx=100.0, fy=100.0, cx=47.5, cy=31.5, rows=64, cols=96,
+                  z_near=0.05, z_far=10.0)
+
+
+def quad(z=2.0, half=1.0):
+    """Two triangles forming a square at depth z, facing the camera."""
+    V = np.array([[-half, -half, z], [half, -half, z],
+                  [half, half, z], [-half, half, z]], np.float32)
+    F = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    return V, F
+
+
+def icosphere(subdiv=1, r=0.5):
+    """Tiny icosphere for a curved test mesh."""
+    t = (1 + 5**0.5) / 2
+    V = np.array([[-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+                  [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+                  [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1]], np.float32)
+    F = np.array([[0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+                  [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+                  [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+                  [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]],
+                 np.int32)
+    for _ in range(subdiv):
+        newF, mid, verts = [], {}, V.tolist()
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in mid:
+                m = (np.asarray(verts[a]) + np.asarray(verts[b])) / 2
+                verts.append(m.tolist())
+                mid[key] = len(verts) - 1
+            return mid[key]
+
+        for f in F:
+            a, b, c = int(f[0]), int(f[1]), int(f[2])
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            newF += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        V, F = np.asarray(verts, np.float32), np.asarray(newF, np.int32)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True) * r
+    return V, F
+
+
+IDENTITY = jnp.asarray(np.hstack([np.eye(3), np.zeros((3, 1))]).astype(np.float32))
+
+
+class TestDepth:
+    def test_flat_quad_depth(self):
+        V, F = quad(z=2.0, half=0.2)  # +-0.2m at 2m, f=100 -> +-10 px
+        d = np.asarray(rasterize_depth(jnp.asarray(V), jnp.asarray(F),
+                                       IDENTITY, INTR))
+        # center pixel: principal point looks at quad center -> depth 2.0
+        assert abs(d[31, 47] - 2.0) < 1e-3
+        # background is +inf
+        assert np.isinf(d[0, 0])
+        # footprint is the expected ~20x20 px square
+        area = np.isfinite(d).sum()
+        assert abs(area - 20 * 20) < 90, area
+
+    def test_slanted_quad_perspective_correct(self):
+        """Depth varies linearly in 1/z across a slanted quad."""
+        V = np.array([[-1, -1, 1.5], [1, -1, 3.0],
+                      [1, 1, 3.0], [-1, 1, 1.5]], np.float32)
+        F = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        d = np.asarray(rasterize_depth(jnp.asarray(V), jnp.asarray(F),
+                                       IDENTITY, INTR))
+        row = d[31]
+        xs = np.nonzero(np.isfinite(row))[0]
+        # analytic: pixel u maps to ray x/z=(u-cx)/fx; plane z = 2.25 + .75x
+        for u in (xs[2], xs[len(xs) // 2], xs[-3]):
+            a = (u - INTR.cx) / INTR.fx
+            z_expected = 2.25 / (1 - 0.75 * a)
+            assert abs(row[u] - z_expected) < 0.02, (u, row[u], z_expected)
+
+    def test_occlusion_nearest_wins(self):
+        Vf, Ff = quad(z=1.0, half=0.3)
+        Vb, Fb = quad(z=3.0, half=2.0)
+        V = np.vstack([Vf, Vb])
+        F = np.vstack([Ff, Fb + 4])
+        d = np.asarray(rasterize_depth(jnp.asarray(V), jnp.asarray(F),
+                                       IDENTITY, INTR))
+        assert abs(d[32, 48] - 1.0) < 1e-3     # front quad wins at center
+        assert abs(d[2, 2] - 3.0) < 1e-2       # back quad elsewhere
+
+    def test_binned_matches_brute(self):
+        V, F = icosphere(subdiv=1, r=0.5)
+        V = V + np.array([0, 0, 2.0], np.float32)
+        a = np.asarray(rasterize_depth(jnp.asarray(V), jnp.asarray(F),
+                                       IDENTITY, INTR))
+        b = np.asarray(rasterize_depth_brute(jnp.asarray(V), jnp.asarray(F),
+                                             IDENTITY, INTR))
+        mask = np.isfinite(a) | np.isfinite(b)
+        assert (np.isfinite(a) == np.isfinite(b)).mean() > 0.995
+        both = np.isfinite(a) & np.isfinite(b)
+        np.testing.assert_allclose(a[both], b[both], atol=1e-3)
+
+    def test_near_plane_clipping(self):
+        V, F = quad(z=0.01)  # in front of near plane
+        d = np.asarray(rasterize_depth(jnp.asarray(V), jnp.asarray(F),
+                                       IDENTITY, INTR))
+        assert np.isinf(d).all()
+
+    def test_behind_camera_clipped(self):
+        V, F = quad(z=-2.0)
+        d = np.asarray(rasterize_depth(jnp.asarray(V), jnp.asarray(F),
+                                       IDENTITY, INTR))
+        assert np.isinf(d).all()
+
+
+class TestRenderer:
+    def make(self):
+        r = Renderer(INTR)
+        V, F = icosphere(subdiv=1, r=0.5)
+        r.set_mesh(V + np.array([0, 0, 2.0], np.float32), F)
+        return r
+
+    def test_batched_poses(self):
+        r = self.make()
+        poses = np.stack([np.hstack([np.eye(3), [[0], [0], [z]]])
+                          for z in (0.0, 0.5, 1.0)]).astype(np.float32)
+        d = np.asarray(r.render_depth(jnp.asarray(poses)))
+        assert d.shape == (3, 64, 96)
+        # pushing the object away increases center depth by the offset
+        assert abs((d[1, 32, 48] - d[0, 32, 48]) - 0.5) < 1e-2
+        assert abs((d[2, 32, 48] - d[0, 32, 48]) - 1.0) < 1e-2
+
+    def test_mask(self):
+        r = self.make()
+        m = np.asarray(r.render_mask(IDENTITY))
+        assert m.dtype == np.uint8
+        assert m[32, 48] == 255 and m[0, 0] == 0
+        # mask area ~ projected disk area: r=0.5 at z=2, f=100 -> 25px radius
+        area = (m > 0).sum()
+        assert abs(area - np.pi * 25**2) / (np.pi * 25**2) < 0.15
+
+    def test_edge_on_silhouette(self):
+        r = self.make()
+        e = np.asarray(r.render_edge(IDENTITY))
+        m = np.asarray(r.render_mask(IDENTITY)) > 0
+        # edges concentrate on the silhouette ring: dilate mask minus erode
+        import scipy.ndimage as ndi
+
+        ring = ndi.binary_dilation(m, iterations=2) & ~ndi.binary_erosion(m, iterations=2)
+        assert e[ring].max() == 1.0
+        interior = ndi.binary_erosion(m, iterations=5)
+        assert e[interior].mean() < 0.05
+
+    def test_gl_depth_roundtrip(self):
+        r = self.make()
+        d = r.render_depth(IDENTITY)
+        gl = to_gl_depth(d, INTR.z_near, INTR.z_far)
+        back = linearize_gl_depth(gl, INTR.z_near, INTR.z_far)
+        fin = np.isfinite(np.asarray(d))
+        np.testing.assert_allclose(np.asarray(back)[fin], np.asarray(d)[fin],
+                                   rtol=1e-3)
+        assert float(np.asarray(gl)[~fin].min()) == 1.0
