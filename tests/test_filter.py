@@ -1,0 +1,167 @@
+"""MSCKF filter tests: IMU dead-reckoning, track ingest lifecycle, and the
+end-to-end trajectory-recovery milestone (SURVEY.md §4: the filter must
+recover the synthetic generating trajectory)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from visma_tpu.filter import FilterConfig, Msckf, init_state
+from visma_tpu.filter.feed import pack_frames
+from visma_tpu.filter.imu import propagate
+from visma_tpu.filter.state import TrackTable
+from visma_tpu.filter.msckf import _ingest
+from visma_tpu.io.synthetic import SyntheticConfig, make_dataset, make_imu, \
+    make_trajectory
+from visma_tpu.proto import FeatureStatus
+
+
+def ate_rmse(p_est, p_gt):
+    return float(np.sqrt(np.mean(np.sum((p_est - p_gt) ** 2, axis=1))))
+
+
+class TestImuPropagation:
+    def test_static_gravity_cancel(self):
+        """Stationary IMU measuring exactly +g stays put."""
+        cfg = FilterConfig()
+        s = init_state(cfg)
+        S = 50
+        gyro = jnp.zeros((S, 3))
+        accel = jnp.tile(jnp.array([0.0, 0.0, cfg.gravity]), (S, 1))
+        dts = jnp.full(S, 0.005)
+        out = propagate(cfg, s, gyro, accel, dts)
+        np.testing.assert_allclose(np.asarray(out.p), 0.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(out.v), 0.0, atol=1e-5)
+        # covariance must grow and stay symmetric PSD
+        P = np.asarray(out.P)
+        np.testing.assert_allclose(P, P.T, atol=1e-8)
+        assert P[6, 6] > np.asarray(s.P)[6, 6]
+
+    def test_masked_samples_noop(self):
+        cfg = FilterConfig()
+        s = init_state(cfg)
+        gyro = jnp.ones((4, 3)) * 99.0   # garbage in masked slots
+        accel = jnp.ones((4, 3)) * 99.0
+        dts = jnp.zeros(4)
+        out = propagate(cfg, s, gyro, accel, dts)
+        np.testing.assert_allclose(np.asarray(out.p), np.asarray(s.p))
+        np.testing.assert_allclose(np.asarray(out.R), np.asarray(s.R))
+
+    def test_dead_reckoning_tracks_truth(self):
+        """Pure IMU integration follows the synthetic trajectory briefly."""
+        cfg = FilterConfig()
+        syn = SyntheticConfig(num_frames=30)
+        imu = make_imu(syn)
+        s = init_state(cfg, R0=imu["R"][0], p0=imu["pos"][0], v0=imu["v0"])
+        n = min(180, len(imu["ts"]))
+        dt = float(np.diff(imu["ts_state"])[0])
+        out = propagate(cfg, s, jnp.asarray(imu["gyro"][:n], jnp.float32),
+                        jnp.asarray(imu["accel"][:n], jnp.float32),
+                        jnp.full(n, dt, jnp.float32))
+        err = np.linalg.norm(np.asarray(out.p) - imu["pos"][n])
+        assert err < 2e-3, err  # f32 accumulation only
+
+
+class TestIngest:
+    def test_lifecycle(self):
+        cfg = FilterConfig(window=4, max_tracks=8)
+        tr = TrackTable.empty(8, 4)
+        ids = jnp.array([10, 11, -1, -1, -1, -1, -1, -1], jnp.int32)
+        xp = jnp.zeros((8, 2), jnp.float32).at[0].set(jnp.array([5.0, 6.0]))
+        valid = jnp.array([True, True] + [False] * 6)
+
+        tr, lost = _ingest(cfg, tr, ids, xp, valid)
+        live = np.asarray(tr.ids) >= 0
+        assert live.sum() == 2
+        st = np.asarray(tr.status)[live]
+        assert (st == int(FeatureStatus.INITIALIZING)).all()
+        assert not np.asarray(lost).any()
+
+        # second frame: same ids -> READY
+        tr, lost = _ingest(cfg, tr, ids, xp, valid)
+        st = np.asarray(tr.status)[np.asarray(tr.ids) >= 0]
+        assert (st == int(FeatureStatus.READY)).all()
+
+        # third frame: only id 10 -> 11 lost (GOODDROP)
+        valid2 = jnp.array([True] + [False] * 7)
+        tr, lost = _ingest(cfg, tr, ids, xp, valid2)
+        ids_np = np.asarray(tr.ids)
+        assert int(np.asarray(lost)[ids_np == 11][0]) == 1
+        assert np.asarray(tr.status)[ids_np == 11][0] == int(FeatureStatus.GOODDROP)
+        assert np.asarray(tr.status)[ids_np == 10][0] == int(FeatureStatus.INSTATE)
+
+    def test_obs_alignment(self):
+        """Newest observation sits in window slot M-1 and rolls left."""
+        cfg = FilterConfig(window=3, max_tracks=4)
+        tr = TrackTable.empty(4, 3)
+        ids = jnp.array([7, -1, -1, -1], jnp.int32)
+        valid = jnp.array([True, False, False, False])
+        for k in range(3):
+            xp = jnp.zeros((4, 2), jnp.float32).at[0].set(
+                jnp.array([float(k), 0.0]))
+            tr, _ = _ingest(cfg, tr, ids, xp, valid)
+        slot = int(np.nonzero(np.asarray(tr.ids) == 7)[0][0])
+        np.testing.assert_allclose(np.asarray(tr.obs)[slot, :, 0], [0, 1, 2])
+        assert np.asarray(tr.mask)[slot].all()
+
+
+class TestEndToEnd:
+    @pytest.mark.parametrize("noise", [0.0, 0.5])
+    def test_trajectory_recovery(self, noise):
+        """The P3 milestone: sequence in -> trajectory out, ATE small."""
+        syn = SyntheticConfig(num_frames=60, num_landmarks=120,
+                              pixel_noise=noise, seed=3)
+        cfg = FilterConfig(window=8, max_tracks=96, max_updates=24,
+                           imu_per_frame=8,
+                           fx=syn.fx, fy=syn.fy, cx=syn.cx, cy=syn.cy,
+                           pixel_noise=max(noise, 0.5))
+        ds = make_dataset(syn)
+        imu = make_imu(syn)
+        frames = pack_frames(cfg, ds, imu, max_feats=96)
+
+        _, gwc = make_trajectory(syn)
+        kf = Msckf(cfg)
+        s0 = kf.init(R0=gwc[0, :, :3], p0=gwc[0, :, 3], v0=imu["v0"])
+        frames = {k: jnp.asarray(v) for k, v in frames.items() if k != "ts"}
+        final, outs = kf.run(s0, frames)
+
+        p_est = np.asarray(outs["p"])
+        p_gt = gwc[:, :, 3]
+        ate = ate_rmse(p_est, p_gt)
+        # dead-reckoning alone drifts; vision must keep it bounded
+        limit = 0.01 if noise == 0.0 else 0.03
+        assert ate < limit, f"ATE {ate:.4f} m (noise={noise})"
+        # filter state stays finite and covariance symmetric
+        P = np.asarray(final.P)
+        assert np.isfinite(P).all()
+        np.testing.assert_allclose(P, P.T, atol=1e-6)
+
+    def test_vision_beats_dead_reckoning_with_bias(self):
+        """With a gyro bias, vision updates must clearly beat pure IMU."""
+        syn = SyntheticConfig(num_frames=60, num_landmarks=120, seed=4)
+        cfg = FilterConfig(window=8, max_tracks=96, max_updates=24,
+                           fx=syn.fx, fy=syn.fy, cx=syn.cx, cy=syn.cy,
+                           pixel_noise=0.5)
+        ds = make_dataset(syn)
+        imu = make_imu(syn, gyro_bias=0.005, accel_bias=0.02)
+        frames_np = pack_frames(cfg, ds, imu, max_feats=96)
+        _, gwc = make_trajectory(syn)
+        v0 = imu["v0"]
+
+        kf = Msckf(cfg)
+        s0 = kf.init(R0=gwc[0, :, :3], p0=gwc[0, :, 3], v0=v0)
+        frames = {k: jnp.asarray(v) for k, v in frames_np.items() if k != "ts"}
+        _, outs = kf.run(s0, frames)
+        ate_f = ate_rmse(np.asarray(outs["p"]), gwc[:, :, 3])
+
+        # dead reckoning with the same biased IMU
+        from visma_tpu.filter import init_state as mk
+        s = mk(cfg, R0=gwc[0, :, :3], p0=gwc[0, :, 3], v0=v0)
+        ps = []
+        for i in range(len(ds.packets)):
+            s = propagate(cfg, s, frames["gyro"][i], frames["accel"][i],
+                          frames["dts"][i])
+            ps.append(np.asarray(s.p))
+        ate_dr = ate_rmse(np.asarray(ps), gwc[:, :, 3])
+        assert ate_f < ate_dr * 0.5, (ate_f, ate_dr)
+        assert ate_f < 0.1, ate_f

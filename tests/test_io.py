@@ -182,22 +182,34 @@ class TestJsonBinary:
 
 
 class TestSyntheticIMU:
-    def test_imu_consistency(self):
-        """Integrating the synthetic gyro/accel must reproduce the poses."""
+    def test_imu_discrete_consistency(self):
+        """The filter's exact discrete integrator must reproduce the
+        closed-form trajectory from the synthetic measurements."""
         cfg = SyntheticConfig(num_frames=30)
         imu = make_imu(cfg)
-        dt = 1.0 / cfg.imu_rate
-        # integrate rotation: R_{k+1} = R_k expm(hat(w dt))
+        dt = np.diff(imu["ts_state"])[0]
         from scipy.spatial.transform import Rotation
 
         R = imu["R"][0].copy()
-        v = None
-        for k in range(len(imu["ts"]) - 1):
-            if v is None:
-                v = (imu["pos"][1] - imu["pos"][0]) / dt
-            a_w = R @ imu["accel"][k] + np.array([0, 0, -cfg.gravity])
-            R = R @ Rotation.from_rotvec(imu["gyro"][k] * dt).as_matrix()
+        v = imu["v0"].copy()
+        p = imu["pos"][0].copy()
+        g = np.array([0, 0, -cfg.gravity])
+        for k in range(len(imu["ts"])):
+            a_w = R @ imu["accel"][k] + g
+            p = p + v * dt + 0.5 * a_w * dt * dt
             v = v + a_w * dt
-        # orientation drift after full sequence should be small
-        err = Rotation.from_matrix(imu["R"][-1].T @ R).magnitude()
-        assert err < 0.05, f"gyro integration drift {err}"
+            R = R @ Rotation.from_rotvec(imu["gyro"][k] * dt).as_matrix()
+        r_err = Rotation.from_matrix(imu["R"][-1].T @ R).magnitude()
+        p_err = np.linalg.norm(p - imu["pos"][-1])
+        assert r_err < 1e-8, f"rotation drift {r_err}"
+        assert p_err < 1e-8, f"position drift {p_err}"
+
+    def test_imu_frame_alignment(self):
+        """IMU sample stamps partition exactly into per-frame groups."""
+        cfg = SyntheticConfig(num_frames=10)
+        imu = make_imu(cfg, samples_per_frame=8)
+        frame_ts = np.arange(10) / cfg.fps
+        for i in range(1, 10):
+            sel = (imu["ts"] > frame_ts[i - 1] + 1e-12) & \
+                  (imu["ts"] <= frame_ts[i] + 1e-12)
+            assert sel.sum() == 8, sel.sum()

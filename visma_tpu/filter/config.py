@@ -1,0 +1,48 @@
+"""Filter configuration."""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class FilterConfig:
+    # capacities (static shapes)
+    window: int = 10          # M camera pose clones
+    max_tracks: int = 64      # K feature slots
+    max_updates: int = 32     # features consumed per update step
+    imu_per_frame: int = 8    # max IMU samples between consecutive frames
+
+    # camera
+    fx: float = 400.0
+    fy: float = 400.0
+    cx: float = 320.0
+    cy: float = 240.0
+
+    # IMU noise (continuous-time densities)
+    gyro_noise: float = 1.2e-3      # rad/s/sqrt(Hz)
+    accel_noise: float = 8e-3       # m/s^2/sqrt(Hz)
+    gyro_bias_walk: float = 1e-5
+    accel_bias_walk: float = 1e-4
+
+    # measurement noise (pixels)
+    pixel_noise: float = 1.0
+
+    # priors (stddev)
+    init_att_std: float = 1e-3
+    init_pos_std: float = 1e-6
+    init_vel_std: float = 1e-2
+    init_bg_std: float = 1e-3
+    init_ba_std: float = 1e-2
+
+    gravity: float = 9.81
+
+    # update gating
+    min_track_obs: int = 3
+    max_reproj_error: float = 30.0  # px, triangulation sanity gate
+    min_depth: float = 0.05
+    max_depth: float = 50.0
+
+    @property
+    def dim(self) -> int:
+        """Error-state dimension: 15 IMU + 6 per clone."""
+        return 15 + 6 * self.window

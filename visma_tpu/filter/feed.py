@@ -1,0 +1,58 @@
+"""Pack a vlslam Dataset + IMU stream into fixed-shape per-frame arrays for
+Msckf.run (host-side, numpy). Feature observations use the dataset's ids
+and pixel coords; IMU samples between consecutive frames are right-aligned
+into `imu_per_frame` slots with dt=0 padding.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from visma_tpu.filter.config import FilterConfig
+from visma_tpu.proto import Dataset
+
+
+def pack_frames(cfg: FilterConfig, dataset: Dataset,
+                imu: Dict[str, np.ndarray],
+                max_feats: Optional[int] = None) -> Dict[str, np.ndarray]:
+    """Returns {gyro (N,S,3), accel (N,S,3), dts (N,S), ids (N,F), xp
+    (N,F,2), valid (N,F), ts (N,)}."""
+    N = len(dataset.packets)
+    S = cfg.imu_per_frame
+    F = max_feats or cfg.max_tracks
+
+    out = {
+        "gyro": np.zeros((N, S, 3), np.float32),
+        "accel": np.zeros((N, S, 3), np.float32),
+        "dts": np.zeros((N, S), np.float32),
+        "ids": np.full((N, F), -1, np.int32),
+        "xp": np.zeros((N, F, 2), np.float32),
+        "valid": np.zeros((N, F), bool),
+        "ts": np.zeros(N, np.float64),
+    }
+
+    imu_ts = imu["ts"]
+    prev_t = dataset.packets[0].ts
+    for i, p in enumerate(dataset.packets):
+        out["ts"][i] = p.ts
+        if i > 0:
+            # epsilon guards against float drift between frame stamps
+            # (k / fps) and sample stamps (k * spf * dt)
+            sel = (imu_ts > prev_t + 1e-9) & (imu_ts <= p.ts + 1e-9)
+            idxs = np.nonzero(sel)[0][:S]
+            n = len(idxs)
+            if n:
+                out["gyro"][i, :n] = imu["gyro"][idxs]
+                out["accel"][i, :n] = imu["accel"][idxs]
+                t_edges = np.concatenate([[prev_t], imu_ts[idxs]])
+                out["dts"][i, :n] = np.diff(t_edges)
+        prev_t = p.ts
+
+        feats = p.features[:F]
+        for j, f in enumerate(feats):
+            out["ids"][i, j] = f.id
+            if len(f.xp) >= 2:
+                out["xp"][i, j] = f.xp[:2]
+            out["valid"][i, j] = True
+    return out

@@ -1,0 +1,84 @@
+"""Multi-view feature triangulation (masked, batched).
+
+Linear midpoint initialization + fixed-iteration Gauss-Newton refinement on
+reprojection error; everything fixed-shape and vmappable over the feature
+table.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from visma_tpu.filter.config import FilterConfig
+from visma_tpu.geom.rotations import mm
+
+
+def backproject(cfg: FilterConfig, xp: jnp.ndarray) -> jnp.ndarray:
+    """Pixels (..., 2) -> unit-norm camera rays (..., 3)."""
+    x = (xp[..., 0] - cfg.cx) / cfg.fx
+    y = (xp[..., 1] - cfg.cy) / cfg.fy
+    d = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+
+
+def project(cfg: FilterConfig, Xc: jnp.ndarray) -> jnp.ndarray:
+    """Camera points (..., 3) -> pixels (..., 2)."""
+    z = jnp.where(jnp.abs(Xc[..., 2]) < 1e-6, 1e-6, Xc[..., 2])
+    return jnp.stack([cfg.fx * Xc[..., 0] / z + cfg.cx,
+                      cfg.fy * Xc[..., 1] / z + cfg.cy], axis=-1)
+
+
+def triangulate_linear(cfg: FilterConfig, obs, mask, win_R, win_p):
+    """Midpoint method: X = argmin sum ||(I - d d^T)(X - p_i)||^2.
+
+    obs (M,2), mask (M,), win_R (M,3,3) world<-cam, win_p (M,3).
+    Returns (X (3,), ok scalar bool).
+    """
+    d = jnp.einsum("mij,mj->mi", win_R, backproject(cfg, obs))
+    w = mask.astype(jnp.float32)
+    Pm = jnp.eye(3)[None] - d[:, :, None] * d[:, None, :]
+    Pm = Pm * w[:, None, None]
+    A = jnp.sum(Pm, axis=0) + 1e-6 * jnp.eye(3)
+    b = jnp.einsum("mij,mj->i", Pm, win_p)
+    X = jnp.linalg.solve(A, b)
+    ok = jnp.sum(w) >= 2
+    return X, ok
+
+
+def _reproj_residuals(cfg: FilterConfig, X, obs, mask, win_R, win_p):
+    Xc = jnp.einsum("mji,mj->mi", win_R, X[None] - win_p)  # R^T (X - p)
+    pred = project(cfg, Xc)
+    r = (pred - obs) * mask[:, None]
+    return r, Xc
+
+
+def triangulate(cfg: FilterConfig, obs, mask, win_R, win_p, gn_iters: int = 3):
+    """Linear init + GN refinement. Returns (X, ok, mean_reproj_err)."""
+    X0, ok = triangulate_linear(cfg, obs, mask, win_R, win_p)
+
+    def gn_step(X, _):
+        r, Xc = _reproj_residuals(cfg, X, obs, mask, win_R, win_p)
+        z = jnp.where(jnp.abs(Xc[..., 2]) < 1e-6, 1e-6, Xc[..., 2])
+        # d pred / d Xc
+        Jc = jnp.zeros((obs.shape[0], 2, 3), jnp.float32)
+        Jc = Jc.at[:, 0, 0].set(cfg.fx / z)
+        Jc = Jc.at[:, 0, 2].set(-cfg.fx * Xc[..., 0] / z**2)
+        Jc = Jc.at[:, 1, 1].set(cfg.fy / z)
+        Jc = Jc.at[:, 1, 2].set(-cfg.fy * Xc[..., 1] / z**2)
+        # d Xc / d X = R^T
+        J = jnp.einsum("mab,mbc->mac", Jc, jnp.swapaxes(win_R, -1, -2))
+        J = J * mask[:, None, None]
+        H = jnp.einsum("mai,maj->ij", J, J) + 1e-4 * jnp.eye(3)
+        g = jnp.einsum("mai,ma->i", J, r)
+        dX = jnp.linalg.solve(H, g)
+        return X - dX, None
+
+    X, _ = jax.lax.scan(gn_step, X0, None, length=gn_iters)
+
+    r, Xc = _reproj_residuals(cfg, X, obs, mask, win_R, win_p)
+    n = jnp.maximum(jnp.sum(mask), 1)
+    err = jnp.sum(jnp.linalg.norm(r, axis=-1)) / n
+    depth_ok = jnp.all(jnp.where(mask, Xc[..., 2], 1.0) > cfg.min_depth) & \
+               jnp.all(jnp.where(mask, Xc[..., 2], 1.0) < cfg.max_depth)
+    ok = ok & depth_ok & (err < cfg.max_reproj_error) & jnp.all(jnp.isfinite(X))
+    return X, ok, err

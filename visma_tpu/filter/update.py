@@ -1,0 +1,162 @@
+"""MSCKF measurement update: per-feature nullspace projection + stacked
+QR-compressed EKF update with Joseph-form covariance.
+
+All shapes fixed: K_up features x M window slots; masked rows are exact
+zeros in (H, r), which makes them information-free no-ops through the
+orthonormal projections (zero H row => zero Kalman gain column).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from visma_tpu.filter.config import FilterConfig
+from visma_tpu.filter.state import FilterState
+from visma_tpu.filter.triangulate import project, triangulate
+from visma_tpu.geom.rotations import hat, mm
+
+
+def feature_jacobians(cfg: FilterConfig, X, obs, mask, win_R, win_p):
+    """Residual + Jacobians for one feature over the window.
+
+    Returns r (2M,), Hx (2M, D), Hf (2M, 3); masked rows are zero.
+    Clone error convention: R <- exp(hat(dtheta)) R (world-frame attitude
+    error), p <- p + dp.
+    """
+    M = cfg.window
+    D = cfg.dim
+    Rt = jnp.swapaxes(win_R, -1, -2)                     # (M,3,3) cam<-world
+    Xc = jnp.einsum("mij,mj->mi", Rt, X[None] - win_p)   # (M,3)
+    pred = project(cfg, Xc)
+    r = (obs - pred) * mask[:, None]                     # (M,2)
+
+    z = jnp.where(jnp.abs(Xc[..., 2]) < 1e-6, 1e-6, Xc[..., 2])
+    Jp = jnp.zeros((M, 2, 3), jnp.float32)
+    Jp = Jp.at[:, 0, 0].set(cfg.fx / z)
+    Jp = Jp.at[:, 0, 2].set(-cfg.fx * Xc[..., 0] / z**2)
+    Jp = Jp.at[:, 1, 1].set(cfg.fy / z)
+    Jp = Jp.at[:, 1, 2].set(-cfg.fy * Xc[..., 1] / z**2)
+    Jp = Jp * mask[:, None, None]
+
+    # dXc/dtheta = R^T hat(X - p); dXc/dp = -R^T ; dXc/dX = R^T
+    dXc_dth = jnp.einsum("mij,mjk->mik", Rt, hat(X[None] - win_p))
+    Htheta = jnp.einsum("mab,mbc->mac", Jp, dXc_dth)     # (M,2,3)
+    Hp = -jnp.einsum("mab,mbc->mac", Jp, Rt)             # (M,2,3)
+    Hf = jnp.einsum("mab,mbc->mac", Jp, Rt)              # (M,2,3)
+
+    # scatter into the big Jacobian: clone m occupies [15+6m, 15+6m+6)
+    Hx = jnp.zeros((M, 2, D), jnp.float32)
+    cols = 15 + 6 * jnp.arange(M)
+    Hx = jax.vmap(
+        lambda h, hp, c: jax.lax.dynamic_update_slice(
+            jnp.zeros((2, D), jnp.float32),
+            jnp.concatenate([h, hp], axis=-1), (0, c))
+    )(Htheta, Hp, cols)
+
+    return r.reshape(2 * M), Hx.reshape(2 * M, D), Hf.reshape(2 * M, 3)
+
+
+def nullspace_project(r, Hx, Hf):
+    """Left-nullspace projection of the landmark Jacobian.
+
+    QR(Hf) complete -> N = Q[:, 3:]; returns (N^T r, N^T Hx) with 2M-3 rows.
+    """
+    Q, _ = jnp.linalg.qr(Hf, mode="complete")
+    N = Q[:, 3:]
+    return N.T @ r, N.T @ Hx
+
+
+def chi2_gate(cfg: FilterConfig, r_proj, H_proj, P, dof_scale: float = 8.0):
+    """Mahalanobis gate on the projected residual (cheap outlier rejection).
+
+    Returns bool: True = accept. dof_scale approximates the chi-square
+    threshold per residual dimension.
+    """
+    S = mm(mm(H_proj, P), H_proj.T)
+    S = S + cfg.pixel_noise**2 * jnp.eye(S.shape[0], dtype=S.dtype)
+    sol = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(S), r_proj)
+    m2 = jnp.dot(r_proj, sol)
+    dof = r_proj.shape[0]
+    return m2 < dof_scale * dof
+
+
+def msckf_update(cfg: FilterConfig, state: FilterState,
+                 sel_obs, sel_mask, sel_valid):
+    """Batched MSCKF update over selected features.
+
+    sel_obs (U, M, 2), sel_mask (U, M) observation masks, sel_valid (U,)
+    feature-level validity. Returns (new_state, used (U,) bool).
+    """
+    M, D = cfg.window, cfg.dim
+    U = sel_obs.shape[0]
+
+    # only observations in valid window slots count
+    slot_ok = state.win_valid[None, :]
+    sel_mask = sel_mask & slot_ok
+
+    X, tri_ok, _err = jax.vmap(
+        lambda o, m: triangulate(cfg, o, m, state.win_R, state.win_p)
+    )(sel_obs, sel_mask)
+
+    use = sel_valid & tri_ok & (jnp.sum(sel_mask, axis=1) >= cfg.min_track_obs)
+
+    r, Hx, Hf = jax.vmap(
+        lambda x, o, m: feature_jacobians(cfg, x, o, m, state.win_R,
+                                          state.win_p)
+    )(X, sel_obs, sel_mask)
+
+    rp, Hp = jax.vmap(nullspace_project)(r, Hx, Hf)      # (U, 2M-3[, D])
+
+    gate = jax.vmap(lambda rr, hh: chi2_gate(cfg, rr, hh, state.P))(rp, Hp)
+    use = use & gate
+
+    # zero out unused features entirely
+    rp = rp * use[:, None]
+    Hp = Hp * use[:, None, None]
+
+    rbig = rp.reshape(-1)                 # (L,)
+    Hbig = Hp.reshape(-1, D)              # (L, D)
+
+    # QR compression to D rows (L >> D); masked rows are zero and harmless
+    Qc, Rc = jnp.linalg.qr(Hbig, mode="reduced")
+    rc = Qc.T @ rbig                      # (D,)
+
+    # EKF update with H = Rc (D x D), noise sigma^2 I
+    P = state.P
+    S = mm(mm(Rc, P), Rc.T) + cfg.pixel_noise**2 * jnp.eye(D, dtype=P.dtype)
+    cho = jax.scipy.linalg.cho_factor(0.5 * (S + S.T))
+    PHt = mm(P, Rc.T)
+    K = jax.scipy.linalg.cho_solve(cho, PHt.T).T         # (D, D)
+    dx = K @ rc
+
+    IKH = jnp.eye(D, dtype=P.dtype) - mm(K, Rc)
+    P_new = mm(mm(IKH, P), IKH.T) + cfg.pixel_noise**2 * mm(K, K.T)
+    P_new = 0.5 * (P_new + P_new.T)
+
+    # if nothing was used, keep everything unchanged
+    any_used = jnp.any(use)
+    dx = jnp.where(any_used, dx, jnp.zeros_like(dx))
+    P_new = jnp.where(any_used, P_new, P)
+
+    state = apply_correction(cfg, state, dx).replace(P=P_new)
+    # store triangulated points for export/diagnostics
+    return state, use, X
+
+
+def apply_correction(cfg: FilterConfig, state: FilterState,
+                     dx: jnp.ndarray) -> FilterState:
+    from visma_tpu.geom.rotations import rodrigues
+
+    M = cfg.window
+    R = mm(rodrigues(dx[0:3]), state.R)
+    p = state.p + dx[3:6]
+    v = state.v + dx[6:9]
+    bg = state.bg + dx[9:12]
+    ba = state.ba + dx[12:15]
+
+    dwin = dx[15:].reshape(M, 6)
+    win_R = jax.vmap(lambda d, Rm: mm(rodrigues(d), Rm))(dwin[:, :3],
+                                                         state.win_R)
+    win_p = state.win_p + dwin[:, 3:]
+    return state.replace(R=R, p=p, v=v, bg=bg, ba=ba, win_R=win_R,
+                         win_p=win_p)

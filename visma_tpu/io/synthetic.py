@@ -96,44 +96,69 @@ def project(gwc: np.ndarray, X: np.ndarray, cfg: SyntheticConfig):
 
 def make_imu(cfg: SyntheticConfig,
              accel_noise: float = 0.0, gyro_noise: float = 0.0,
-             accel_bias: float = 0.0, gyro_bias: float = 0.0):
+             accel_bias: float = 0.0, gyro_bias: float = 0.0,
+             samples_per_frame: int = 8):
     """Synthesize body-frame IMU samples along the trajectory.
 
-    Returns dict {ts (M,), gyro (M,3), accel (M,3)} where gyro is the body
-    angular rate and accel the specific force a_body = R^T (a_world - g).
-    Derivatives are computed spectrally-free via central differences on a
-    dense pose sampling.
+    Discrete-consistent construction: the samples are defined so that the
+    filter's exact discrete integrator
+        R' = R expm(hat(w dt));  v' = v + (R a + g) dt;
+        p' = p + v dt + 0.5 (R a + g) dt^2
+    reproduces the closed-form trajectory *exactly* (up to float roundoff)
+    at every sample, and samples are aligned with frame times
+    (dt = 1 / (fps * samples_per_frame)). This makes the synthetic world a
+    clean oracle: with zero injected noise, the only filter errors are its
+    own numerics.
+
+    Returns {ts (S,), gyro (S,3), accel (S,3), R (S,3,3), pos (S,3),
+    v0 (3,), samples_per_frame}.
     """
+    from scipy.spatial.transform import Rotation
+
     rng = np.random.default_rng(cfg.seed + 1)
-    dt = 1.0 / cfg.imu_rate
-    T = (cfg.num_frames - 1) / cfg.fps
-    ts = np.arange(0.0, T + dt / 2, dt)
+    spf = samples_per_frame
+    dt = 1.0 / (cfg.fps * spf)
+    S = (cfg.num_frames - 1) * spf + 1
+    ts = np.arange(S) * dt
     th = cfg.angular_rate * ts
 
-    # closed-form position and its derivatives
     r, w = cfg.radius, cfg.angular_rate
     pos = np.stack([r * np.cos(th), r * np.sin(th),
                     cfg.height + 0.1 * np.sin(2.3 * th)], axis=1)
-    acc = np.stack([-r * w * w * np.cos(th), -r * w * w * np.sin(th),
-                    -0.1 * (2.3 * w) ** 2 * np.sin(2.3 * th)], axis=1)
+    vel0 = np.array([-r * w * np.sin(0.0), r * w * np.cos(0.0),
+                     0.1 * 2.3 * w * np.cos(0.0)])
 
-    # orientation by look-at; gyro from finite differences of R
-    Rs = np.zeros((len(ts), 3, 3))
+    Rs = np.zeros((S, 3, 3))
     up = np.array([0.0, 0.0, 1.0])
-    for i in range(len(ts)):
+    for i in range(S):
         Rs[i] = _look_at(pos[i], np.zeros(3), up)
-    gyro = np.zeros((len(ts), 3))
-    for i in range(1, len(ts) - 1):
-        dR = Rs[i].T @ (Rs[i + 1] - Rs[i - 1]) / (2 * dt)
-        gyro[i] = np.array([dR[2, 1], dR[0, 2], dR[1, 0]])
-    gyro[0], gyro[-1] = gyro[1], gyro[-2]
 
+    # gyro: R_{k+1} = R_k expm(hat(w_k dt)) exactly
+    gyro = np.zeros((S, 3))
+    for i in range(S - 1):
+        gyro[i] = Rotation.from_matrix(Rs[i].T @ Rs[i + 1]).as_rotvec() / dt
+    gyro[-1] = gyro[-2]
+
+    # accel: world acceleration consistent with the discrete position
+    # recursion given v_k; a_w[k] = 2 (p_{k+1} - p_k - v_k dt) / dt^2
     g_world = np.array([0.0, 0.0, -cfg.gravity])
-    accel = np.einsum("nij,nj->ni", Rs.transpose(0, 2, 1), acc - g_world)
+    accel = np.zeros((S, 3))
+    v = vel0.copy()
+    for i in range(S - 1):
+        a_w = 2.0 * (pos[i + 1] - pos[i] - v * dt) / (dt * dt)
+        accel[i] = Rs[i].T @ (a_w - g_world)
+        v = v + a_w * dt
+    accel[-1] = accel[-2]
 
     gyro += gyro_bias + gyro_noise * rng.standard_normal(gyro.shape)
     accel += accel_bias + accel_noise * rng.standard_normal(accel.shape)
-    return {"ts": ts, "gyro": gyro, "accel": accel, "R": Rs, "pos": pos}
+
+    # measurement j covers the interval (ts[j], ts[j+1]] and is stamped at
+    # the interval END, matching the filter feed convention (pack_frames
+    # selects stamps in (t_prev_frame, t_frame]).
+    return {"ts": ts[1:], "gyro": gyro[:-1], "accel": accel[:-1],
+            "ts_state": ts, "R": Rs, "pos": pos,
+            "v0": vel0, "samples_per_frame": spf}
 
 
 def make_dataset(cfg: SyntheticConfig) -> Dataset:
