@@ -1,0 +1,131 @@
+"""Frontend tests: pyramid, detection, KLT tracking on synthetic imagery."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from visma_tpu.frontend import (build_pyramid, detect_features,
+                                track_features, FeatureTracker)
+
+
+def textured_image(H=128, W=160, seed=0):
+    """Smooth random texture with good gradients everywhere."""
+    rng = np.random.default_rng(seed)
+    img = rng.uniform(0, 255, (H // 8, W // 8)).astype(np.float32)
+    import cv2
+
+    return cv2.resize(img, (W, H), interpolation=cv2.INTER_CUBIC)
+
+
+def shift_image(img, dx, dy):
+    """Subpixel shift via cv2 warpAffine (the tracking ground truth)."""
+    import cv2
+
+    M = np.float32([[1, 0, dx], [0, 1, dy]])
+    return cv2.warpAffine(img, M, (img.shape[1], img.shape[0]),
+                          flags=cv2.INTER_LINEAR,
+                          borderMode=cv2.BORDER_REFLECT)
+
+
+class TestPyramid:
+    def test_levels_and_shapes(self):
+        img = jnp.asarray(textured_image(64, 96))
+        pyr = build_pyramid(img, 3)
+        assert len(pyr) == 3
+        assert pyr[0].shape == (64, 96)
+        assert pyr[1].shape == (32, 48)
+        assert pyr[2].shape == (16, 24)
+        np.testing.assert_allclose(float(pyr[1].mean()),
+                                   float(pyr[0].mean()), atol=1e-3)
+
+
+class TestDetect:
+    def test_finds_strong_corners(self):
+        img = np.zeros((96, 128), np.float32)
+        for (y, x) in [(30, 40), (60, 90), (20, 100)]:
+            img[y:, x:] += 100.0  # stacked step corners
+        xy, score, valid = detect_features(jnp.asarray(img), 16, cell=16)
+        got = np.asarray(xy)[np.asarray(valid)]
+        for (y, x) in [(30, 40), (60, 90)]:
+            d = np.min(np.linalg.norm(got - np.array([x, y]), axis=1))
+            assert d < 3.0, (x, y, d)
+
+    def test_spread_over_grid(self):
+        img = jnp.asarray(textured_image())
+        xy, _, valid = detect_features(img, 32, cell=16)
+        got = np.asarray(xy)[np.asarray(valid)]
+        assert len(got) >= 20
+        # no two detections in the same cell
+        cells = {(int(x) // 16, int(y) // 16) for x, y in got}
+        assert len(cells) == len(got)
+
+    def test_occupied_cells_skipped(self):
+        img = jnp.asarray(textured_image())
+        H, W = img.shape
+        occ = jnp.ones((H // 16, W // 16), bool).at[0, :].set(False)
+        xy, _, valid = detect_features(img, 32, cell=16, occupied=occ)
+        got = np.asarray(xy)[np.asarray(valid)]
+        assert (got[:, 1] < 16).all()  # only top cell row allowed
+
+
+class TestKLT:
+    @pytest.mark.parametrize("shift", [(1.3, -0.8), (4.2, 2.7), (9.5, -6.0)])
+    def test_recovers_known_shift(self, shift):
+        dx, dy = shift
+        img0 = textured_image()
+        img1 = shift_image(img0, dx, dy)
+        p0 = tuple(build_pyramid(jnp.asarray(img0), 3))
+        p1 = tuple(build_pyramid(jnp.asarray(img1), 3))
+        xy, _, valid = detect_features(jnp.asarray(img0), 24, cell=16,
+                                       border=16)
+        new_xy, ok = track_features(p0, p1, xy, valid)
+        ok = np.asarray(ok)
+        assert ok.sum() >= 10
+        d = np.asarray(new_xy)[ok] - np.asarray(xy)[ok]
+        err = np.linalg.norm(d - np.array([dx, dy]), axis=1)
+        assert np.median(err) < 0.25, np.median(err)
+
+    def test_flat_region_rejected(self):
+        img0 = np.full((64, 96), 50.0, np.float32)
+        p0 = tuple(build_pyramid(jnp.asarray(img0), 2))
+        pts = jnp.asarray([[48.0, 32.0]])
+        _, ok = track_features(p0, p0, pts, jnp.asarray([True]), levels=2)
+        assert not bool(ok[0])  # degenerate gradient matrix
+
+
+class TestTracker:
+    def test_ids_persist_and_replenish(self):
+        img0 = textured_image(seed=1)
+        tr = FeatureTracker(max_features=32, cell=16)
+        st = tr.init(jnp.asarray(img0))
+        ids0 = np.asarray(st.ids)
+        assert (ids0 >= 0).sum() >= 20
+
+        img1 = shift_image(img0, 2.0, 1.0)
+        st, ids1, xp1, valid1 = tr.step(st, jnp.asarray(img1))
+        ids1, valid1 = np.asarray(ids1), np.asarray(valid1)
+        survived = set(ids0[ids0 >= 0]) & set(ids1[valid1])
+        assert len(survived) >= 15  # most tracks persist
+        # (per-track displacement accuracy covered by TestKLT and
+        # test_sequence_unique_ids)
+
+    def test_sequence_unique_ids(self):
+        img = textured_image(seed=2)
+        tr = FeatureTracker(max_features=24, cell=16)
+        st = tr.init(jnp.asarray(img))
+        seen = {}
+        for k in range(5):
+            img = shift_image(img, 3.0, -2.0)
+            st, ids, xp, valid = tr.step(st, jnp.asarray(img))
+            ids, xp, valid = np.asarray(ids), np.asarray(xp), np.asarray(valid)
+            for i in np.nonzero(valid)[0]:
+                fid = int(ids[i])
+                if fid in seen:
+                    # same id must refer to a continuously tracked point:
+                    # displacement between consecutive frames ~ (3, -2)
+                    prev = seen[fid]
+                    if prev[0] == k - 1:
+                        d = xp[i] - prev[1]
+                        assert np.linalg.norm(d - np.array([3.0, -2.0])) < 1.5
+                seen[fid] = (k, xp[i].copy())
+        assert len(seen) >= 24  # replenishment created new ids over time

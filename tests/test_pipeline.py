@@ -1,0 +1,77 @@
+"""Full-pipeline test: synthetic IMAGES + IMU -> trajectory (config 2+3)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from visma_tpu.filter import FilterConfig
+from visma_tpu.io.synthetic import SyntheticConfig, make_imu
+from visma_tpu.io.synthetic_images import render_blob_frames
+from visma_tpu.pipeline import VioPipeline, export_packets
+
+
+@pytest.mark.slow
+def test_images_to_trajectory():
+    syn = SyntheticConfig(num_frames=45, num_landmarks=130, rows=240,
+                          cols=320, fx=200.0, fy=200.0, cx=160.0, cy=120.0,
+                          seed=11)
+    cfg = FilterConfig(window=8, max_tracks=48, max_updates=16,
+                       fx=syn.fx, fy=syn.fy, cx=syn.cx, cy=syn.cy,
+                       pixel_noise=1.0)
+    frames, gwc, X = render_blob_frames(syn)
+    imu = make_imu(syn)
+    spf = imu["samples_per_frame"]
+    dt = float(np.diff(imu["ts_state"])[0])
+
+    pipe = VioPipeline(cfg, levels=3, cell=20)
+    st = pipe.init(jnp.asarray(frames[0]), R0=gwc[0, :, :3],
+                   p0=gwc[0, :, 3], v0=imu["v0"])
+    ps = []
+    for i in range(1, syn.num_frames):
+        lo, hi = (i - 1) * spf, i * spf
+        st = pipe.step(st, frames[i], imu["gyro"][lo:hi],
+                       imu["accel"][lo:hi], np.full(spf, dt, np.float32))
+        R, p = pipe.pose(st)
+        ps.append(p)
+    ps = np.asarray(ps)
+    ate = float(np.sqrt(np.mean(np.sum((ps - gwc[1:, :, 3]) ** 2, axis=1))))
+    assert ate < 0.08, f"image-pipeline ATE {ate:.4f} m"
+
+
+def test_export_packets_roundtrip(tmp_path):
+    """Filter outputs -> vlslam packets -> decodable dataset file."""
+    from visma_tpu.filter import Msckf
+    from visma_tpu.filter.feed import pack_frames
+    from visma_tpu.io.synthetic import make_dataset, make_trajectory
+    from visma_tpu.proto import CameraInfo, Dataset
+
+    syn = SyntheticConfig(num_frames=20, num_landmarks=60, seed=5)
+    cfg = FilterConfig(window=6, max_tracks=64, max_updates=16,
+                       fx=syn.fx, fy=syn.fy, cx=syn.cx, cy=syn.cy)
+    ds = make_dataset(syn)
+    imu = make_imu(syn)
+    frames = {k: jnp.asarray(v) for k, v in
+              pack_frames(cfg, ds, imu).items() if k != "ts"}
+    _, gwc = make_trajectory(syn)
+    kf = Msckf(cfg)
+    s0 = kf.init(R0=gwc[0, :, :3], p0=gwc[0, :, 3], v0=imu["v0"])
+    _, outs = kf.run(s0, frames)
+
+    ts = np.array([p.ts for p in ds.packets])
+    packets = export_packets(cfg, outs, ts)
+    out = Dataset(description="visma_tpu output",
+                  camera=CameraInfo(rows=syn.rows, cols=syn.cols,
+                                    parameters=np.array([syn.fx, syn.fy,
+                                                         syn.cx, syn.cy])),
+                  packets=packets)
+    path = tmp_path / "dataset"
+    path.write_bytes(out.encode())
+
+    # reload through the standard loader
+    from visma_tpu.io import VlslamDatasetLoader
+
+    loader = VlslamDatasetLoader(str(tmp_path))
+    assert len(loader) == 20
+    fr = loader.grab(10, load_image=False)
+    # exported gwc matches the filter estimate for that frame
+    np.testing.assert_allclose(fr.gwc[:, 3], np.asarray(outs["p"][10]),
+                               atol=1e-6)

@@ -41,7 +41,12 @@ def triangulate_linear(cfg: FilterConfig, obs, mask, win_R, win_p):
     A = jnp.sum(Pm, axis=0) + 1e-6 * jnp.eye(3)
     b = jnp.einsum("mij,mj->i", Pm, win_p)
     X = jnp.linalg.solve(A, b)
-    ok = jnp.sum(w) >= 2
+    # near-parallel rays make A ~ singular: the solution blows up and can
+    # overflow f32 downstream. Clamp and flag.
+    norm = jnp.linalg.norm(X)
+    bounded = (norm < 1e3) & jnp.all(jnp.isfinite(X))
+    X = jnp.where(bounded, X, jnp.zeros(3))
+    ok = (jnp.sum(w) >= 2) & bounded
     return X, ok
 
 
@@ -71,6 +76,7 @@ def triangulate(cfg: FilterConfig, obs, mask, win_R, win_p, gn_iters: int = 3):
         H = jnp.einsum("mai,maj->ij", J, J) + 1e-4 * jnp.eye(3)
         g = jnp.einsum("mai,ma->i", J, r)
         dX = jnp.linalg.solve(H, g)
+        dX = jnp.clip(dX, -100.0, 100.0)  # f32 overflow guard
         return X - dX, None
 
     X, _ = jax.lax.scan(gn_step, X0, None, length=gn_iters)

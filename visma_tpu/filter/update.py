@@ -108,11 +108,13 @@ def msckf_update(cfg: FilterConfig, state: FilterState,
     rp, Hp = jax.vmap(nullspace_project)(r, Hx, Hf)      # (U, 2M-3[, D])
 
     gate = jax.vmap(lambda rr, hh: chi2_gate(cfg, rr, hh, state.P))(rp, Hp)
-    use = use & gate
+    finite = jnp.all(jnp.isfinite(rp), axis=1) & \
+        jnp.all(jnp.isfinite(Hp.reshape(U, -1)), axis=1)
+    use = use & gate & finite
 
-    # zero out unused features entirely
-    rp = rp * use[:, None]
-    Hp = Hp * use[:, None, None]
+    # zero out unused features entirely (where, not multiply: NaN * 0 = NaN)
+    rp = jnp.where(use[:, None], rp, 0.0)
+    Hp = jnp.where(use[:, None, None], Hp, 0.0)
 
     rbig = rp.reshape(-1)                 # (L,)
     Hbig = Hp.reshape(-1, D)              # (L, D)
