@@ -1,0 +1,184 @@
+"""Evaluation tests: metrics + full quantitative_evaluation on a
+synthesized VISMA-layout scene directory (config 4 parity)."""
+import json
+import os
+
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation
+
+from visma_tpu.eval import (
+    compute_error_metric, measure_pose_error, measure_surface_error,
+    point_mesh_distances, sample_mesh, assemble_scene,
+    quantitative_evaluation,
+)
+from visma_tpu.io import save_obj, save_ply
+from visma_tpu.io.json_io import matrix_to_json
+
+
+def cube_mesh(size=1.0):
+    s = size / 2
+    V = np.array([[x, y, z] for x in (-s, s) for y in (-s, s)
+                  for z in (-s, s)], np.float32)
+    F = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                  [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                  [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]], np.int32)
+    return V, F
+
+
+class TestErrorMetric:
+    def test_reference_semantics(self):
+        e = np.array([3.0, 1.0, 2.0, 5.0, 4.0])
+        m = compute_error_metric(e)
+        assert m.mean == 3.0
+        assert m.median == 3.0  # sorted[5 >> 1] = sorted[2]
+        assert m.min == 1.0 and m.max == 5.0
+        np.testing.assert_allclose(m.std, np.sqrt(2.0), atol=1e-9)
+
+    def test_even_length_median(self):
+        m = compute_error_metric(np.array([1.0, 2.0, 3.0, 4.0]))
+        assert m.median == 3.0  # sorted[4 >> 1] = sorted[2], ref convention
+
+
+class TestPointMesh:
+    def test_point_above_face(self):
+        V, F = cube_mesh(2.0)
+        d = point_mesh_distances(np.array([[0.0, 0.0, 3.0]]), V, F)
+        np.testing.assert_allclose(d, [2.0], atol=1e-5)
+
+    def test_point_at_vertex_and_edge(self):
+        V = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+        F = np.array([[0, 1, 2]], np.int32)
+        queries = np.array([
+            [-1.0, -1.0, 0.0],   # closest to vertex (0,0,0): sqrt(2)
+            [0.5, -1.0, 0.0],    # closest to edge ab: 1.0
+            [0.25, 0.25, 1.0],   # above the face: 1.0
+            [1.5, 0.5, 0.0],     # beyond edge bc region
+        ])
+        d = point_mesh_distances(queries, V, F)
+        np.testing.assert_allclose(d[0], np.sqrt(2), atol=1e-5)
+        np.testing.assert_allclose(d[1], 1.0, atol=1e-5)
+        np.testing.assert_allclose(d[2], 1.0, atol=1e-5)
+        # oracle: dense sampling of the triangle
+        dense = sample_mesh(V, F, 200000, seed=1)
+        ref = np.min(np.linalg.norm(dense - queries[3], axis=1))
+        np.testing.assert_allclose(d[3], ref, atol=5e-3)
+
+    def test_random_queries_vs_dense_sampling(self):
+        V, F = cube_mesh(1.0)
+        rng = np.random.default_rng(0)
+        q = rng.uniform(-1.5, 1.5, (50, 3))
+        d = point_mesh_distances(q, V, F)
+        dense = sample_mesh(V, F, 300000, seed=2)
+        for i in range(50):
+            ref = np.min(np.linalg.norm(dense - q[i], axis=1))
+            assert d[i] <= ref + 1e-4
+            assert d[i] >= ref - 2e-2
+
+
+class TestSurfacePose:
+    def test_same_mesh_zero_error(self):
+        V, F = cube_mesh()
+        m = measure_surface_error(V, F, V, F, 5000)
+        assert m.mean < 1e-5
+
+    def test_offset_mesh(self):
+        V, F = cube_mesh()
+        m = measure_surface_error(V + np.array([0.1, 0, 0]), F, V, F, 20000)
+        assert 0.0 < m.mean < 0.1 and m.max <= 0.1 + 1e-5
+
+    def test_pose_error(self):
+        G1 = [np.hstack([np.eye(3), [[0], [0], [0]]]),
+              np.hstack([np.eye(3), [[2], [0], [0]]])]
+        R = Rotation.from_euler("z", 0.1).as_matrix()
+        G2 = [np.hstack([R, [[0.05], [0], [0]]]),
+              np.hstack([np.eye(3), [[2.1], [0], [0]]])]
+        t_m, r_m = measure_pose_error(G1, G2, dist_thresh=0.5)
+        np.testing.assert_allclose(t_m.max, 0.1, atol=1e-6)
+        np.testing.assert_allclose(r_m.max, 0.1, atol=1e-5)
+
+    def test_pose_error_no_match_beyond_thresh(self):
+        G1 = [np.hstack([np.eye(3), [[0], [0], [0]]])]
+        G2 = [np.hstack([np.eye(3), [[9], [0], [0]]])]
+        t_m, r_m = measure_pose_error(G1, G2, dist_thresh=0.5)
+        assert t_m.mean == 0.0  # empty -> zeros
+
+
+class TestQuantitativeEvaluation:
+    @pytest.fixture
+    def scene(self, tmp_path):
+        """Synthesize a full VISMA eval directory: CAD database, GT
+        alignment, result.json in a shifted 'corvis' frame, RGB-D cloud."""
+        cad = tmp_path / "cad"
+        cad.mkdir()
+        V, F = cube_mesh(0.6)
+        save_obj(str(cad / "chair.obj"), V, F)
+
+        dataroot = tmp_path / "data"
+        scene_dir = dataroot / "clutter1"
+        (scene_dir / "fragments").mkdir(parents=True)
+
+        rng = np.random.default_rng(0)
+        # GT object poses in EF frame
+        gt_poses = {}
+        for i in range(3):
+            T = np.eye(4)
+            T[:3, :3] = Rotation.from_euler("z", rng.uniform(0, 6)).as_matrix()
+            T[:3, 3] = rng.uniform(-1.5, 1.5, 3)
+            gt_poses[f"chair_{i}"] = T
+        gt_json = {}
+        for k, T in gt_poses.items():
+            matrix_to_json(gt_json, k, T[:3, :4])
+        (scene_dir / "fragments" / "alignment.json").write_text(
+            json.dumps(gt_json))
+
+        # corvis frame differs from EF by a known transform
+        T_ef_corvis = np.eye(4)
+        T_ef_corvis[:3, :3] = Rotation.from_rotvec([0.1, -0.2, 0.3]).as_matrix()
+        T_ef_corvis[:3, 3] = [0.4, -0.3, 0.2]
+        T_corvis_ef = np.linalg.inv(T_ef_corvis)
+
+        result_objs = []
+        for i, (k, T) in enumerate(gt_poses.items()):
+            obj = {"id": i, "model_name": "chair", "status": 2}
+            matrix_to_json(obj, "model_pose", (T_corvis_ef @ T)[:3, :4])
+            result_objs.append(obj)
+        (scene_dir / "result.json").write_text(json.dumps([result_objs]))
+
+        # pseudo-GT cloud: sampled GT objects + floor
+        pts = [sample_mesh(V, F, 4000) @ T[:3, :3].T + T[:3, 3]
+               for T in gt_poses.values()]
+        floor = np.column_stack([rng.uniform(-2, 2, (3000, 2)),
+                                 np.full(3000, -0.3)])
+        cloud = np.concatenate(pts + [floor]).astype(np.float32)
+        save_ply(str(scene_dir / "test.klg.ply"), cloud)
+
+        config = {
+            "dataroot": str(dataroot), "dataset": "clutter1",
+            "CAD_database_root": str(cad),
+            "evaluation": {"ICP_refinement": True, "voxel_size": 0.05,
+                           "max_distance": 0.075, "samples_per_model": 5000},
+            "visualization": {"model_samples": 5000},
+        }
+        return config, T_ef_corvis, str(scene_dir)
+
+    def test_full_pipeline(self, scene):
+        config, T_true, scene_dir = scene
+        metrics = quantitative_evaluation(config)
+
+        # alignment file written with the recovered transform
+        import json as J
+
+        out = J.loads(open(os.path.join(scene_dir,
+                                        "result_alignment.json")).read())
+        T_est = np.asarray(out["T_ef_corvis"]).reshape(3, 4)
+        np.testing.assert_allclose(T_est[:, :3], T_true[:3, :3], atol=0.02)
+        np.testing.assert_allclose(T_est[:, 3], T_true[:3, 3], atol=0.02)
+
+        # metrics written and small (objects recovered in the right place)
+        assert metrics["surface"]["mean"] < 0.02
+        assert metrics["translation"]["max"] < 0.05
+        assert metrics["rotation"]["max"] < 3.0  # degrees
+        for name in ("surface_error.json", "translation_error.json",
+                     "rotation_error.json", "augmented_view.ply"):
+            assert os.path.exists(os.path.join(scene_dir, name)), name

@@ -1,0 +1,167 @@
+"""Gauss-Newton BA with Schur-complement landmark marginalization.
+
+TPU shape: all per-landmark algebra is batched (L, ...) einsums; the
+reduced camera system assembly is one scatter-add into (K,K,6,6) blocks;
+the only sequential parts are the dense (6K x 6K) Cholesky and the GN
+outer loop. Landmark axis L is the sharding axis for the distributed
+version (visma_tpu.dist.sharded_ba) — this module exposes the per-shard
+pieces (`build_reduced_system`, `backsub_landmarks`) it reuses.
+
+Robustness: Huber weights on the pixel residual; Levenberg damping;
+gauge fixed by freezing pose 0.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from visma_tpu.ba.problem import BaProblem
+from visma_tpu.geom.rotations import hat, mm, rodrigues
+
+
+def _residual_jacobians(prob: BaProblem):
+    """Vectorized residuals + Jacobians for every (landmark, pose) pair.
+
+    r (L,K,2); Jp (L,K,2,6) w.r.t. pose error [dtheta(world), dp];
+    Jl (L,K,2,3) w.r.t. landmark. Masked pairs are zeroed.
+    """
+    fx, fy, cx, cy = prob.intr[0], prob.intr[1], prob.intr[2], prob.intr[3]
+    Rt = jnp.swapaxes(prob.R, -1, -2)                       # (K,3,3)
+    diff = prob.X[:, None, :] - prob.p[None, :, :]          # (L,K,3)
+    Xc = jnp.einsum("kij,lkj->lki", Rt, diff)               # (L,K,3)
+    z = jnp.where(jnp.abs(Xc[..., 2]) < 1e-6, 1e-6, Xc[..., 2])
+    pred = jnp.stack([fx * Xc[..., 0] / z + cx,
+                      fy * Xc[..., 1] / z + cy], axis=-1)
+    r = (prob.obs - pred) * prob.mask[..., None]
+
+    L, K = prob.mask.shape
+    Jproj = jnp.zeros((L, K, 2, 3), jnp.float32)
+    Jproj = Jproj.at[..., 0, 0].set(fx / z)
+    Jproj = Jproj.at[..., 0, 2].set(-fx * Xc[..., 0] / z**2)
+    Jproj = Jproj.at[..., 1, 1].set(fy / z)
+    Jproj = Jproj.at[..., 1, 2].set(-fy * Xc[..., 1] / z**2)
+    Jproj = Jproj * prob.mask[..., None, None]
+
+    # dXc/dtheta_k = R_k^T hat(X - p_k); dXc/dp_k = -R_k^T; dXc/dX = R_k^T
+    dXc_dth = jnp.einsum("kij,lkjm->lkim", Rt, hat(diff))   # (L,K,3,3)
+    Jth = jnp.einsum("lkab,lkbc->lkac", Jproj, dXc_dth)
+    Jp_pos = -jnp.einsum("lkab,kbc->lkac", Jproj, Rt)
+    Jp = jnp.concatenate([Jth, Jp_pos], axis=-1)            # (L,K,2,6)
+    Jl = jnp.einsum("lkab,kbc->lkac", Jproj, Rt)            # (L,K,2,3)
+    return r, Jp, Jl
+
+
+def _huber_weights(r: jnp.ndarray, delta: float):
+    nrm = jnp.linalg.norm(r, axis=-1)
+    w = jnp.where(nrm <= delta, 1.0, delta / jnp.maximum(nrm, 1e-9))
+    return w
+
+
+def build_reduced_system(prob: BaProblem, damping: float,
+                         huber_delta: float = 5.0):
+    """Schur-reduce landmarks. Returns (S (6K,6K), b (6K,), aux) where aux
+    carries what back-substitution needs (Hll_inv, Hpl, bl)."""
+    L, K = prob.mask.shape
+    r, Jp, Jl = _residual_jacobians(prob)
+    w = _huber_weights(r, huber_delta) * prob.mask          # (L,K)
+
+    Jp_w = Jp * w[..., None, None]
+    # per-pose blocks: Hpp (K,6,6), bp (K,6)
+    Hpp = jnp.einsum("lkai,lkaj->kij", Jp_w, Jp)
+    bp = jnp.einsum("lkai,lka->ki", Jp_w, r)
+    # landmark blocks
+    Hll = jnp.einsum("lkai,lkaj->lij", Jl * w[..., None, None], Jl)
+    Hll = Hll + (damping + 1e-6) * jnp.eye(3)[None]
+    bl = jnp.einsum("lkai,lka->li", Jl * w[..., None, None], r)
+    Hpl = jnp.einsum("lkai,lkaj->lkij", Jp_w, Jl)           # (L,K,6,3)
+
+    Hll_inv = jnp.linalg.inv(Hll)                           # (L,3,3)
+
+    # S = Hpp(diag) - sum_l Hpl Hll^-1 Hpl^T  (full (K,K) block structure)
+    T1 = jnp.einsum("lkij,ljm->lkim", Hpl, Hll_inv)         # (L,K,6,3)
+    S_off = jnp.einsum("lkim,lqjm->kqij", T1, Hpl)          # (K,K,6,6)
+    S = -S_off
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(Hpp)
+    b = bp - jnp.einsum("lkim,lm->ki", T1, bl)              # (K,6)
+
+    S_dense = S.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+    # Levenberg damping on the camera system + gauge fixing of pose 0
+    S_dense = S_dense + damping * jnp.diag(jnp.diag(S_dense)) \
+        + 1e-8 * jnp.eye(6 * K)
+    gauge = jnp.arange(6 * K) < 6
+    S_dense = jnp.where(gauge[:, None] | gauge[None, :],
+                        jnp.where(jnp.arange(6 * K)[:, None]
+                                  == jnp.arange(6 * K)[None, :], 1e6, 0.0),
+                        S_dense)
+    b_dense = jnp.where(gauge, 0.0, b.reshape(-1))
+    return S_dense, b_dense, (Hll_inv, Hpl, bl)
+
+
+def backsub_landmarks(aux, dxp: jnp.ndarray):
+    """dxl_l = Hll^-1 (bl - Hpl^T dxp)."""
+    Hll_inv, Hpl, bl = aux
+    K = Hpl.shape[1]
+    dxp_k = dxp.reshape(K, 6)
+    rhs = bl - jnp.einsum("lkij,ki->lj", Hpl, dxp_k)
+    return jnp.einsum("lij,lj->li", Hll_inv, rhs)
+
+
+def _apply(prob: BaProblem, dxp, dxl) -> BaProblem:
+    K = prob.num_poses
+    d = dxp.reshape(K, 6)
+    R = jax.vmap(lambda w, Rm: mm(rodrigues(w), Rm))(d[:, :3], prob.R)
+    return BaProblem(R=R, p=prob.p + d[:, 3:], X=prob.X + dxl,
+                     obs=prob.obs, mask=prob.mask, intr=prob.intr)
+
+
+def total_cost(prob: BaProblem, huber_delta: float = 5.0):
+    r, _, _ = _residual_jacobians(prob)
+    nrm = jnp.linalg.norm(r, axis=-1)
+    quad = 0.5 * nrm**2
+    lin = huber_delta * (nrm - 0.5 * huber_delta)
+    c = jnp.where(nrm <= huber_delta, quad, lin) * prob.mask
+    return jnp.sum(c)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def ba_step(prob: BaProblem, damping: jnp.ndarray) -> Tuple[BaProblem, jnp.ndarray]:
+    """One damped GN step; returns (new problem, new cost)."""
+    with jax.default_matmul_precision("highest"):
+        S, b, aux = build_reduced_system(prob, damping)
+        cho = jax.scipy.linalg.cho_factor(0.5 * (S + S.T))
+        dxp = jax.scipy.linalg.cho_solve(cho, b)
+        dxl = backsub_landmarks(aux, dxp)
+        new = _apply(prob, dxp, dxl)
+        return new, total_cost(new)
+
+
+def ba_solve(prob: BaProblem, iters: int = 10, damping: float = 1e-3
+             ) -> Tuple[BaProblem, jnp.ndarray]:
+    """LM-flavored loop: accept steps that reduce cost, else raise damping.
+
+    Returns (solution, cost history (iters,)).
+    """
+
+    @jax.jit
+    def run(prob0):
+        def body(carry, _):
+            cur, lam, cost = carry
+            cand, cand_cost = ba_step(cur, lam)
+            better = cand_cost < cost
+            nxt = jax.tree.map(
+                lambda a, b: jnp.where(better, a, b), cand, cur)
+            lam_new = jnp.where(better, jnp.maximum(lam * 0.5, 1e-6),
+                                jnp.minimum(lam * 4.0, 1e2))
+            c_new = jnp.where(better, cand_cost, cost)
+            return (nxt, lam_new, c_new), c_new
+
+        c0 = total_cost(prob0)
+        (sol, _, _), hist = jax.lax.scan(
+            body, (prob0, jnp.asarray(damping, jnp.float32), c0), None,
+            length=iters)
+        return sol, hist
+
+    return run(prob)
