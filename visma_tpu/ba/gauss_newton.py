@@ -55,15 +55,25 @@ def _residual_jacobians(prob: BaProblem):
 
 
 def _huber_weights(r: jnp.ndarray, delta: float):
+    """Huber IRLS weights with a hard trim: residuals beyond 5*delta are
+    gross outliers (w=0) — pure Huber leaves 80px outliers pulling with
+    weight delta/r, which measurably biases pose and scale."""
     nrm = jnp.linalg.norm(r, axis=-1)
     w = jnp.where(nrm <= delta, 1.0, delta / jnp.maximum(nrm, 1e-9))
-    return w
+    return jnp.where(nrm > 5.0 * delta, 0.0, w)
 
 
 def build_reduced_system(prob: BaProblem, damping: float,
-                         huber_delta: float = 5.0):
+                         huber_delta: float = 5.0,
+                         scale_anchor: jnp.ndarray = None,
+                         scale_weight: float = 1e6):
     """Schur-reduce landmarks. Returns (S (6K,6K), b (6K,), aux) where aux
-    carries what back-substitution needs (Hll_inv, Hpl, bl)."""
+    carries what back-substitution needs (Hll_inv, Hpl, bl).
+
+    scale_anchor: target ||p1 - p0|| closing the monocular scale gauge
+    (reprojection cost is exactly invariant to scaling the scene about the
+    fixed pose 0; without this prior the solver random-walks along that
+    null direction)."""
     L, K = prob.mask.shape
     r, Jp, Jl = _residual_jacobians(prob)
     w = _huber_weights(r, huber_delta) * prob.mask          # (L,K)
@@ -97,6 +107,19 @@ def build_reduced_system(prob: BaProblem, damping: float,
                                   == jnp.arange(6 * K)[None, :], 1e6, 0.0),
                         S_dense)
     b_dense = jnp.where(gauge, 0.0, b.reshape(-1))
+
+    if scale_anchor is not None:
+        # prior residual: scale_anchor - ||p_last - p0||, anchored on the
+        # LONGEST baseline (pose K-1) so initialization noise perturbs the
+        # pinned scale least. Jacobian w.r.t. p_last = e.
+        dvec = prob.p[K - 1] - prob.p[0]
+        dn = jnp.maximum(jnp.linalg.norm(dvec), 1e-9)
+        e = dvec / dn
+        base = 6 * (K - 1) + 3  # last pose's position rows
+        S_dense = S_dense.at[base : base + 3, base : base + 3].add(
+            scale_weight * jnp.outer(e, e))
+        b_dense = b_dense.at[base : base + 3].add(
+            scale_weight * e * (scale_anchor - dn))
     return S_dense, b_dense, (Hll_inv, Hpl, bl)
 
 
@@ -127,10 +150,12 @@ def total_cost(prob: BaProblem, huber_delta: float = 5.0):
 
 
 @functools.partial(jax.jit, static_argnames=())
-def ba_step(prob: BaProblem, damping: jnp.ndarray) -> Tuple[BaProblem, jnp.ndarray]:
+def ba_step(prob: BaProblem, damping: jnp.ndarray,
+            scale_anchor: jnp.ndarray = None) -> Tuple[BaProblem, jnp.ndarray]:
     """One damped GN step; returns (new problem, new cost)."""
     with jax.default_matmul_precision("highest"):
-        S, b, aux = build_reduced_system(prob, damping)
+        S, b, aux = build_reduced_system(prob, damping,
+                                         scale_anchor=scale_anchor)
         cho = jax.scipy.linalg.cho_factor(0.5 * (S + S.T))
         dxp = jax.scipy.linalg.cho_solve(cho, b)
         dxl = backsub_landmarks(aux, dxp)
@@ -147,9 +172,11 @@ def ba_solve(prob: BaProblem, iters: int = 10, damping: float = 1e-3
 
     @jax.jit
     def run(prob0):
+        anchor = jnp.linalg.norm(prob0.p[-1] - prob0.p[0])
+
         def body(carry, _):
             cur, lam, cost = carry
-            cand, cand_cost = ba_step(cur, lam)
+            cand, cand_cost = ba_step(cur, lam, anchor)
             better = cand_cost < cost
             nxt = jax.tree.map(
                 lambda a, b: jnp.where(better, a, b), cand, cur)

@@ -1,0 +1,128 @@
+"""Landmark-sharded distributed bundle adjustment.
+
+Parallel decomposition: the landmark axis L shards over the mesh's "d"
+axis (landmarks are conditionally independent given poses — the Schur
+complement is a SUM of per-landmark contributions). Per device:
+
+  local build:   S_local, b_local from the device's landmark shard
+  collective:    (S, b) = psum over "d"  -- one (6K)^2 all-reduce on ICI
+  replicated:    dense Cholesky solve for pose updates
+  local:         landmark back-substitution on the shard
+
+Communication is O((6K)^2) per iteration, independent of L — the weak-
+scaling shape BASELINE.json asks for (more landmarks per host at fixed
+K communicates the same bytes). XLA lowers the psum to ring
+reduce-scatter+all-gather over ICI.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from visma_tpu.ba.gauss_newton import (backsub_landmarks,
+                                       build_reduced_system, total_cost,
+                                       _apply)
+from visma_tpu.ba.problem import BaProblem
+
+
+def _shard_problem(prob: BaProblem, mesh: Mesh) -> Tuple[BaProblem, int]:
+    """Pad L to a multiple of the mesh size and device_put the landmark-
+    indexed arrays with landmark sharding (poses replicated)."""
+    n = mesh.devices.size
+    L = prob.num_landmarks
+    pad = (-L) % n
+    X = jnp.pad(prob.X, ((0, pad), (0, 0)))
+    obs = jnp.pad(prob.obs, ((0, pad), (0, 0), (0, 0)))
+    mask = jnp.pad(prob.mask, ((0, pad), (0, 0)))
+
+    land = NamedSharding(mesh, P("d"))
+    repl = NamedSharding(mesh, P())
+    padded = BaProblem(
+        R=jax.device_put(prob.R, repl), p=jax.device_put(prob.p, repl),
+        X=jax.device_put(X, land), obs=jax.device_put(obs, land),
+        mask=jax.device_put(mask, land),
+        intr=jax.device_put(prob.intr, repl))
+    return padded, L
+
+
+def _sharded_step(mesh: Mesh):
+    """Build the shard_map'd GN step for a given mesh."""
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(BaProblem(R=P(), p=P(), X=P("d"), obs=P("d"),
+                            mask=P("d"), intr=P()), P()),
+        out_specs=(BaProblem(R=P(), p=P(), X=P("d"), obs=P("d"),
+                             mask=P("d"), intr=P()), P()),
+    )
+    def step(prob_shard: BaProblem, damping):
+        with jax.default_matmul_precision("highest"):
+            n_dev = jax.lax.psum(1, "d")
+            anchor = jnp.linalg.norm(prob_shard.p[-1] - prob_shard.p[0])
+            # poses are replicated, so the scale prior is added on every
+            # shard; divide its weight by the mesh size to keep the psum'd
+            # total equal to the single-device prior
+            S_local, b_local, aux = build_reduced_system(
+                prob_shard, damping, scale_anchor=anchor,
+                scale_weight=1e6 / n_dev)
+            # the gauge rows are written identically on every shard by
+            # build_reduced_system; rescale so the psum keeps them intact
+            n = n_dev
+            gauge = jnp.arange(S_local.shape[0]) < 6
+            gmask = gauge[:, None] | gauge[None, :]
+            S_local = jnp.where(gmask, S_local / n, S_local)
+
+            S = jax.lax.psum(S_local, "d")
+            b = jax.lax.psum(jnp.where(gauge, b_local / n, b_local), "d")
+
+            cho = jax.scipy.linalg.cho_factor(0.5 * (S + S.T))
+            dxp = jax.scipy.linalg.cho_solve(cho, b)
+            dxl = backsub_landmarks(aux, dxp)
+            new = _apply(prob_shard, dxp, dxl)
+            cost = jax.lax.psum(total_cost(new), "d")
+            return new, cost
+
+    return step
+
+
+def sharded_ba_step(prob: BaProblem, mesh: Mesh, damping: float = 1e-3):
+    """One distributed GN step. Returns (problem, cost)."""
+    padded, L = _shard_problem(prob, mesh)
+    step = jax.jit(_sharded_step(mesh))
+    new, cost = step(padded, jnp.asarray(damping, jnp.float32))
+    return BaProblem(R=new.R, p=new.p, X=new.X[:L], obs=new.obs[:L],
+                     mask=new.mask[:L], intr=new.intr), cost
+
+
+def sharded_ba_solve(prob: BaProblem, mesh: Mesh, iters: int = 10,
+                     damping: float = 1e-3):
+    """Distributed LM loop (same acceptance logic as ba_solve), jitted as
+    one computation over the mesh. Returns (solution, cost history)."""
+    padded, L = _shard_problem(prob, mesh)
+    step = _sharded_step(mesh)
+
+    @jax.jit
+    def run(p0):
+        def body(carry, _):
+            cur, lam, cost = carry
+            cand, cand_cost = step(cur, lam)
+            better = cand_cost < cost
+            nxt = jax.tree.map(lambda a, b: jnp.where(better, a, b), cand, cur)
+            lam_new = jnp.where(better, jnp.maximum(lam * 0.5, 1e-6),
+                                jnp.minimum(lam * 4.0, 1e2))
+            return (nxt, lam_new, jnp.where(better, cand_cost, cost)), cost
+
+        # initial cost via one replicated evaluation
+        c0 = total_cost(p0)
+        (sol, _, c_fin), hist = jax.lax.scan(
+            body, (p0, jnp.asarray(damping, jnp.float32), c0), None,
+            length=iters)
+        return sol, hist
+
+    sol, hist = run(padded)
+    return BaProblem(R=sol.R, p=sol.p, X=sol.X[:L], obs=sol.obs[:L],
+                     mask=sol.mask[:L], intr=sol.intr), hist
