@@ -1,0 +1,100 @@
+"""Run the MSCKF VIO over a sequence and report ATE
+(new capability — the engine the reference dataset presumes; BASELINE
+config 3). Two modes:
+
+  feature-feed: consume a vlslam `dataset` (feature tracks as the Corvis
+    frontend produced them) + an IMU npz {ts, gyro, accel};
+  synthetic: generate a sequence on the fly (--synthetic N frames).
+
+Writes the estimated trajectory as a vlslam dataset (loadable by
+example_load) and prints ATE vs the reference poses when available.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dataroot", default=None, help="VISMA sequence dir")
+    ap.add_argument("--imu", default=None, help="npz with ts/gyro/accel")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="run on an N-frame synthetic sequence instead")
+    ap.add_argument("--output", default=None,
+                    help="write estimated trajectory dataset here")
+    ap.add_argument("--window", type=int, default=8)
+    ap.add_argument("--max-tracks", type=int, default=96)
+    ap.add_argument("--pixel-noise", type=float, default=0.5)
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from visma_tpu.filter import FilterConfig, Msckf
+    from visma_tpu.filter.feed import pack_frames
+
+    if args.synthetic:
+        from visma_tpu.io.synthetic import (SyntheticConfig, make_dataset,
+                                            make_imu, make_trajectory)
+
+        syn = SyntheticConfig(num_frames=args.synthetic,
+                              pixel_noise=args.pixel_noise)
+        cfg = FilterConfig(window=args.window, max_tracks=args.max_tracks,
+                           fx=syn.fx, fy=syn.fy, cx=syn.cx, cy=syn.cy,
+                           pixel_noise=max(args.pixel_noise, 0.5))
+        ds = make_dataset(syn)
+        imu = make_imu(syn)
+        _, gwc = make_trajectory(syn)
+        R0, p0, v0 = gwc[0, :, :3], gwc[0, :, 3], imu["v0"]
+        ref_p = gwc[:, :, 3]
+    else:
+        if not args.dataroot or not args.imu:
+            ap.error("--dataroot and --imu required (or use --synthetic N)")
+        from visma_tpu.io import VlslamDatasetLoader
+
+        loader = VlslamDatasetLoader(args.dataroot)
+        ds = loader.dataset
+        p = np.asarray(ds.camera.parameters)
+        cfg = FilterConfig(window=args.window, max_tracks=args.max_tracks,
+                           fx=float(p[0]), fy=float(p[1]), cx=float(p[2]),
+                           cy=float(p[3]),
+                           pixel_noise=max(args.pixel_noise, 0.5))
+        imu_npz = np.load(args.imu)
+        imu = {k: imu_npz[k] for k in ("ts", "gyro", "accel")}
+        imu["v0"] = imu_npz.get("v0", np.zeros(3))
+        g0 = loader.pose(0)
+        R0, p0, v0 = g0[:, :3], g0[:, 3], imu["v0"]
+        ref_p = np.stack([loader.pose(i)[:, 3] for i in range(len(loader))])
+
+    frames = {k: jnp.asarray(v)
+              for k, v in pack_frames(cfg, ds, imu,
+                                      max_feats=args.max_tracks).items()
+              if k != "ts"}
+    kf = Msckf(cfg)
+    s0 = kf.init(R0=R0, p0=p0, v0=v0)
+    final, outs = kf.run(s0, frames)
+
+    p_est = np.asarray(outs["p"])
+    ate = float(np.sqrt(np.mean(np.sum((p_est - ref_p) ** 2, axis=1))))
+    print(json.dumps({"frames": len(p_est), "ate_rmse_m": round(ate, 5)}))
+
+    if args.output:
+        import os
+
+        from visma_tpu.pipeline import export_packets
+        from visma_tpu.proto import CameraInfo, Dataset
+
+        ts = np.asarray([pk.ts for pk in ds.packets])
+        packets = export_packets(cfg, outs, ts)
+        est = Dataset(description="visma_tpu VIO estimate",
+                      camera=ds.camera, packets=packets)
+        os.makedirs(args.output, exist_ok=True)
+        with open(os.path.join(args.output, "dataset"), "wb") as fp:
+            fp.write(est.encode())
+        print(f"wrote {args.output}/dataset")
+
+
+if __name__ == "__main__":
+    main()
