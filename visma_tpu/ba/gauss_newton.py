@@ -98,9 +98,13 @@ def build_reduced_system(prob: BaProblem, damping: float,
     b = bp - jnp.einsum("lkim,lm->ki", T1, bl)              # (K,6)
 
     S_dense = S.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
-    # Levenberg damping on the camera system + gauge fixing of pose 0
+    # Levenberg damping on the camera system + gauge fixing of pose 0.
+    # The additive floor must scale with the matrix: f32 roundoff in the
+    # Schur einsums perturbs eigenvalues by ~eps * ||S||, which drives
+    # weakly-constrained directions slightly negative and kills Cholesky.
+    floor = 1e-6 * jnp.max(jnp.abs(jnp.diag(S_dense))) + 1e-8
     S_dense = S_dense + damping * jnp.diag(jnp.diag(S_dense)) \
-        + 1e-8 * jnp.eye(6 * K)
+        + floor * jnp.eye(6 * K)
     gauge = jnp.arange(6 * K) < 6
     S_dense = jnp.where(gauge[:, None] | gauge[None, :],
                         jnp.where(jnp.arange(6 * K)[:, None]
