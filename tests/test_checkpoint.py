@@ -72,3 +72,13 @@ def test_check():
         assert False
     except AssertionError as e:
         assert "boom" in str(e)
+
+
+def test_heartbeat(tmp_path):
+    from visma_tpu.dist.multihost import Heartbeat
+
+    hb = Heartbeat(str(tmp_path / "hb"), interval_s=0.0)
+    assert hb.stale(timeout_s=0.1)  # no file yet
+    hb.touch(step=3)
+    assert not hb.stale(timeout_s=60.0)
+    assert open(tmp_path / "hb").read().startswith("3 ")
