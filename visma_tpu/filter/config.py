@@ -36,6 +36,19 @@ class FilterConfig:
 
     gravity: float = 9.81
 
+    # camera-IMU extrinsics T_bc (camera frame expressed in body/IMU
+    # frame): G_wc = G_wb * T_bc. Tuples (hashable for jit closure
+    # capture); identity = camera == body.
+    cam_R_bc: tuple = ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0))
+    cam_p_bc: tuple = (0.0, 0.0, 0.0)
+
+    @property
+    def has_extrinsics(self) -> bool:
+        import numpy as _np
+
+        return not (_np.allclose(self.cam_R_bc, _np.eye(3))
+                    and _np.allclose(self.cam_p_bc, 0.0))
+
     # update gating
     min_track_obs: int = 3
     max_reproj_error: float = 30.0  # px, triangulation sanity gate

@@ -20,28 +20,40 @@ from visma_tpu.proto import FeatureStatus
 
 
 def _augment(cfg: FilterConfig, state: FilterState) -> FilterState:
-    """Roll the clone window left and clone the current camera pose into
-    slot M-1. Covariance rows/cols permute accordingly; the new clone's
-    errors alias the IMU attitude/position errors (camera = body for now;
-    extrinsics hook documented in config)."""
+    """Roll the clone window left and clone the current CAMERA pose into
+    slot M-1 (G_wc = G_wb * T_bc). Covariance rows/cols permute; the new
+    clone's attitude error aliases the IMU attitude error exactly
+    (world-frame error convention), and its position error is
+    dp_c = dp - hat(R_wb p_bc) dtheta — identity when extrinsics are."""
     M, D = cfg.window, cfg.dim
+    R_bc = jnp.asarray(cfg.cam_R_bc, jnp.float32)
+    p_bc = jnp.asarray(cfg.cam_p_bc, jnp.float32)
 
-    win_R = jnp.concatenate([state.win_R[1:], state.R[None]], axis=0)
-    win_p = jnp.concatenate([state.win_p[1:], state.p[None]], axis=0)
+    cam_R = state.R @ R_bc
+    cam_p = state.p + state.R @ p_bc
+    win_R = jnp.concatenate([state.win_R[1:], cam_R[None]], axis=0)
+    win_p = jnp.concatenate([state.win_p[1:], cam_p[None]], axis=0)
     win_valid = jnp.concatenate([state.win_valid[1:],
                                  jnp.ones(1, bool)], axis=0)
 
     # permutation-with-duplication: new index -> old index
-    idx = jnp.arange(D)
     # IMU block unchanged [0:15); clones shift: new clone m <- old clone m+1
     clone_src = jnp.concatenate([
         15 + 6 + jnp.arange(6 * (M - 1)),     # clones 0..M-2 <- old 1..M-1
-        jnp.concatenate([jnp.arange(0, 3), jnp.arange(3, 6)]),  # new clone
+        jnp.arange(0, 6),                      # new clone <- IMU att/pos
     ])
     perm = jnp.concatenate([jnp.arange(15), clone_src])
     P = state.P[perm][:, perm]
+
+    if cfg.has_extrinsics:
+        # correct the new clone's position rows: dp_c = dp - hat(R p_bc) dθ
+        from visma_tpu.geom.rotations import hat, mm
+
+        J = jnp.eye(D, dtype=jnp.float32)
+        row = 15 + 6 * (M - 1) + 3
+        J = J.at[row : row + 3, row - 3 : row].set(-hat(state.R @ p_bc))
+        P = mm(mm(J, P), J.T)
     P = 0.5 * (P + P.T)
-    del idx
     return state.replace(win_R=win_R, win_p=win_p, win_valid=win_valid, P=P)
 
 

@@ -94,6 +94,31 @@ def project(gwc: np.ndarray, X: np.ndarray, cfg: SyntheticConfig):
     return np.stack([u, v], axis=1), z, valid
 
 
+def imu_from_poses(Rs: np.ndarray, pos: np.ndarray, dt: float,
+                   gravity: float = 9.81, v0: np.ndarray = None):
+    """Discrete-consistent IMU synthesis from an arbitrary pose sequence.
+
+    Measurement j covers (t_j, t_{j+1}] so that the filter's exact discrete
+    integrator reproduces (Rs, pos) sample-for-sample. Returns
+    {gyro (S-1,3), accel (S-1,3), v0 (3,)}.
+    """
+    from scipy.spatial.transform import Rotation
+
+    S = len(Rs)
+    if v0 is None:
+        v0 = (pos[1] - pos[0]) / dt
+    g_world = np.array([0.0, 0.0, -gravity])
+    gyro = np.zeros((S - 1, 3))
+    accel = np.zeros((S - 1, 3))
+    v = np.asarray(v0, np.float64).copy()
+    for i in range(S - 1):
+        gyro[i] = Rotation.from_matrix(Rs[i].T @ Rs[i + 1]).as_rotvec() / dt
+        a_w = 2.0 * (pos[i + 1] - pos[i] - v * dt) / (dt * dt)
+        accel[i] = Rs[i].T @ (a_w - g_world)
+        v = v + a_w * dt
+    return {"gyro": gyro, "accel": accel, "v0": np.asarray(v0, np.float64)}
+
+
 def make_imu(cfg: SyntheticConfig,
              accel_noise: float = 0.0, gyro_noise: float = 0.0,
              accel_bias: float = 0.0, gyro_bias: float = 0.0,
