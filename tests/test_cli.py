@@ -1,0 +1,103 @@
+"""In-process CLI smoke tests (mains called with argv; CPU via conftest)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from visma_tpu.io.synthetic import SyntheticConfig, write_sequence
+
+
+@pytest.fixture(scope="module")
+def seq(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cliseq")
+    write_sequence(str(root), SyntheticConfig(num_frames=6, num_landmarks=40),
+                   write_images=True)
+    return str(root)
+
+
+def test_example_load(seq, capsys, tmp_path):
+    from visma_tpu.cli.example_load import main
+
+    main([seq, "--max-frames", "2", "--save-vis", str(tmp_path / "vis")])
+    out = capsys.readouterr().out
+    assert "sequence: 6 frames" in out and "gwc=" in out
+    assert os.path.exists(tmp_path / "vis" / "000000.jpg")
+
+
+def test_example_dump(seq, tmp_path):
+    from visma_tpu.cli.example_dump import main
+
+    out = str(tmp_path / "dump")
+    main([seq, out])
+    K = np.loadtxt(os.path.join(out, "K.txt"))
+    assert K.shape == (3, 3) and K[0, 0] == 400
+    G = np.loadtxt(os.path.join(out, "pose", "000003.txt"))
+    assert G.shape == (4, 4)
+    assert os.path.getsize(os.path.join(out, "depth", "000003.txt")) > 0
+
+
+def test_render_depth(tmp_path):
+    from visma_tpu.cli.render_depth import main
+    from visma_tpu.io import load_mat, save_obj
+
+    V = np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float32)
+    F = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    save_obj(str(tmp_path / "quad.obj"), V, F)
+    cfg = {"image_height": 48, "image_width": 64, "fx": 40, "fy": 40,
+           "cx": 32, "cy": 24, "z_far": 10, "mesh": str(tmp_path / "quad.obj"),
+           "translation": [0, 0, 2], "save": True,
+           "output_path": str(tmp_path), "mask": True}
+    (tmp_path / "cfg.json").write_text(json.dumps(cfg))
+    main([str(tmp_path / "cfg.json")])
+    d = load_mat(str(tmp_path / "depthmap.bin"))
+    assert d.shape == (48, 64)
+    assert abs(d[24, 32] - 2.0) < 1e-2
+    m = load_mat(str(tmp_path / "mask.bin"))
+    assert m[24, 32] == 255
+
+
+def test_run_vio_synthetic(tmp_path, capsys):
+    from visma_tpu.cli.run_vio import main
+
+    main(["--synthetic", "24", "--output", str(tmp_path / "est")])
+    out = capsys.readouterr().out
+    rec = json.loads(out.strip().splitlines()[0])
+    assert rec["frames"] == 24
+    assert rec["ate_rmse_m"] < 0.05
+    assert os.path.exists(tmp_path / "est" / "dataset")
+
+
+def test_show_2dmap(tmp_path):
+    from visma_tpu.cli.show_2dmap import main
+    from visma_tpu.io import save_mat
+
+    save_mat(str(tmp_path / "m.bin"),
+             np.random.default_rng(0).random((8, 10)).astype(np.float32))
+    main([str(tmp_path / "m.bin"), "--output", str(tmp_path / "m.png")])
+    assert os.path.exists(tmp_path / "m.png")
+
+
+def test_prepare_sfmlearner(seq, tmp_path):
+    from visma_tpu.cli.prepare_sfmlearner import main
+
+    out = str(tmp_path / "sfm")
+    main([seq, out])
+    files = os.listdir(out)
+    assert any(f.endswith(".jpg") for f in files)
+    assert any(f.endswith(".pkl") for f in files)
+
+
+def test_visualize(seq, tmp_path):
+    from visma_tpu.cli.visualize import main
+
+    main([seq, "--output", str(tmp_path / "scene.png")])
+    assert os.path.exists(tmp_path / "scene.png")
+
+
+def test_load_mesh_database(tmp_path):
+    from visma_tpu.io.loader import load_mesh_database
+
+    (tmp_path / "chairs.json").write_text(
+        json.dumps({"entries": ["a", "b", "c"]}))
+    assert load_mesh_database(str(tmp_path), "chairs.json") == ["a", "b", "c"]

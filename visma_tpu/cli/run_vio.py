@@ -30,6 +30,10 @@ def main(argv=None):
     ap.add_argument("--pixel-noise", type=float, default=0.5)
     args = ap.parse_args(argv)
 
+    from visma_tpu.utils.platform import configure_platform
+
+    configure_platform()
+
     import jax.numpy as jnp
 
     from visma_tpu.filter import FilterConfig, Msckf

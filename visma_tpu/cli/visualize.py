@@ -20,6 +20,10 @@ def main(argv=None):
     ap.add_argument("--model-samples", type=int, default=2000)
     args = ap.parse_args(argv)
 
+    from visma_tpu.utils.platform import configure_platform
+
+    configure_platform()
+
     import matplotlib
 
     matplotlib.use("Agg")

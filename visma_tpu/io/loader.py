@@ -219,3 +219,12 @@ class VlslamDatasetLoader:
                 if len(f.xw) >= 3:
                     out["feat_xw"][i, j] = f.xw[:3]
         return out
+
+
+def load_mesh_database(root: str, cat_json: str):
+    """List of mesh names from a category json {"entries": [...]}
+    (reference LoadMeshDatabase, dataloader.cpp:30-41)."""
+    import json
+
+    with open(os.path.join(root, cat_json)) as fp:
+        return list(json.load(fp)["entries"])
