@@ -115,7 +115,7 @@ def _local_solve(chunk: BaProblem, iters: int, axis: str = None) -> BaProblem:
     if axis is not None:
         # inside shard_map the scan carry becomes device-varying after the
         # first iteration; mark the invariant initial value accordingly
-        lam0 = jax.lax.pvary(lam0, (axis,))
+        lam0 = jax.lax.pcast(lam0, (axis,), to="varying")
     c0 = total_cost(chunk)
     (sol, _, _), _ = jax.lax.scan(body, (chunk, lam0, c0), None,
                                   length=iters)
