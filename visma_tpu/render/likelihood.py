@@ -82,6 +82,31 @@ def chamfer_score(rendered_edges: jnp.ndarray, dt: jnp.ndarray,
     return jnp.where(den > 0, num / jnp.maximum(den, 1e-6), tau)
 
 
+@functools.partial(jax.jit, static_argnames=("tau", "radius",
+                                             "coverage_weight"))
+def symmetric_edge_score(rendered_edges: jnp.ndarray, dt: jnp.ndarray,
+                         observed_edges: jnp.ndarray, tau: float = 10.0,
+                         radius: int = 2,
+                         coverage_weight: float = 5.0) -> jnp.ndarray:
+    """Chamfer + coverage: penalize hypotheses whose renders leave observed
+    edges unexplained (pure one-directional chamfer has a degenerate
+    optimum where geometry "hides" so every rendered pixel lands on an
+    observed edge). Coverage = fraction of observed edge mass within
+    `radius` px of a rendered edge (dilated-maxpool test).
+    """
+    base = chamfer_score(rendered_edges, dt, tau)
+    k = 2 * radius + 1
+    batched = rendered_edges.ndim == 3
+    r = rendered_edges if batched else rendered_edges[None]
+    dil = jax.lax.reduce_window(r, -jnp.inf, jax.lax.max, (1, k, k),
+                                (1, 1, 1), "SAME")
+    obs = observed_edges[None]
+    cov = jnp.sum(jnp.minimum(dil, 1.0) * obs, axis=(-2, -1)) \
+        / jnp.maximum(jnp.sum(obs), 1e-6)
+    score = base + coverage_weight * (1.0 - (cov if batched else cov[0]))
+    return score
+
+
 def score_hypotheses(renderer, g_cm: jnp.ndarray,
                      observed_edges: jnp.ndarray,
                      tau: float = 10.0, dt_iters: int = 32) -> jnp.ndarray:

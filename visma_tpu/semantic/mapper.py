@@ -1,0 +1,140 @@
+"""Semantic mapper: per-object pose tracks from detections + edge evidence.
+
+Workflow per frame (the papers' object-level mapping loop):
+  1. new detections (BoundingBoxList with shape_id) spawn object tracks,
+     initialized by back-projecting the bbox center at a depth prior and
+     sweeping yaw (annotation-tool idiom);
+  2. existing tracks refine their pose against the frame's edge map with
+     CEM over batched render+score;
+  3. tracks export as reference-compatible result.json packets
+     (model_pose is model->WORLD, composed through the frame's gwc —
+     matching MeshAlignment's "ALREADY IN CORVIS FRAME" convention,
+     evaluation.cpp:194).
+"""
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from visma_tpu.render import Intrinsics, Renderer
+from visma_tpu.semantic.cem import refine_pose_cem
+
+
+@dataclass
+class ObjectTrack:
+    oid: int
+    model_name: str
+    pose_wm: np.ndarray              # (4,4) model -> world
+    score: float = np.inf
+    age: int = 0
+    status: int = 2                  # reference result.json status int
+
+
+class SemanticMapper:
+    def __init__(self, intr: Intrinsics, mesh_db: Dict[str, tuple],
+                 depth_prior: float = 2.0, cem_iters: int = 5,
+                 cem_samples: int = 48):
+        """mesh_db: model_name -> (V, F)."""
+        self.intr = intr
+        self.mesh_db = mesh_db
+        self.depth_prior = depth_prior
+        self.cem_iters = cem_iters
+        self.cem_samples = cem_samples
+        self.tracks: Dict[int, ObjectTrack] = {}
+        self._renderers: Dict[str, Renderer] = {}
+        self._next_id = 0
+        self.history: List[List[dict]] = []
+
+    def _renderer(self, name: str) -> Renderer:
+        if name not in self._renderers:
+            r = Renderer(self.intr, capacity=128)
+            V, F = self.mesh_db[name]
+            r.set_mesh(V, F)
+            self._renderers[name] = r
+        return self._renderers[name]
+
+    def _spawn(self, bbox, gwc: np.ndarray) -> Optional[ObjectTrack]:
+        name = bbox.shape_id or bbox.class_name
+        if name not in self.mesh_db:
+            return None
+        cx = 0.5 * (bbox.top_left_x + bbox.bottom_right_x)
+        cy = 0.5 * (bbox.top_left_y + bbox.bottom_right_y)
+        z = self.depth_prior
+        X_cam = np.array([(cx - self.intr.cx) / self.intr.fx * z,
+                          (cy - self.intr.cy) / self.intr.fy * z, z])
+        T_cm = np.eye(4)
+        T_cm[:3, 3] = X_cam
+        T_wm = np.eye(4)
+        T_wm[:3, :4] = gwc @ T_cm
+        tr = ObjectTrack(oid=self._next_id, model_name=name, pose_wm=T_wm)
+        self._next_id += 1
+        self.tracks[tr.oid] = tr
+        return tr
+
+    def step(self, gwc: np.ndarray, edge_map: np.ndarray,
+             bboxes=None) -> None:
+        """gwc (3,4) camera->world; edge_map (H,W) in [0,1]; bboxes
+        optional BoundingBoxList for spawning."""
+        gwc = np.asarray(gwc, np.float64)
+        G = np.eye(4)
+        G[:3, :4] = gwc
+        G_cw = np.linalg.inv(G)
+
+        if bboxes is not None:
+            for bb in bboxes.bounding_boxes:
+                if not self._covered(bb, gwc):
+                    self._spawn(bb, gwc)
+
+        import jax.numpy as jnp
+
+        for tr in self.tracks.values():
+            pose_cm = (G_cw @ tr.pose_wm)[:3, :4]
+            refined, score = refine_pose_cem(
+                self._renderer(tr.model_name), jnp.asarray(edge_map),
+                pose_cm, iters=self.cem_iters, samples=self.cem_samples,
+                seed=tr.age)
+            T_cm = np.eye(4)
+            T_cm[:3, :4] = refined
+            tr.pose_wm = G @ T_cm
+            tr.score = score
+            tr.age += 1
+
+        self.history.append(self.export_packet())
+
+    def _covered(self, bbox, gwc: np.ndarray) -> bool:
+        """Does an existing track project near this detection center?"""
+        cx = 0.5 * (bbox.top_left_x + bbox.bottom_right_x)
+        cy = 0.5 * (bbox.top_left_y + bbox.bottom_right_y)
+        G = np.eye(4)
+        G[:3, :4] = gwc
+        G_cw = np.linalg.inv(G)
+        for tr in self.tracks.values():
+            c_w = tr.pose_wm[:3, 3]
+            c_c = G_cw[:3, :3] @ c_w + G_cw[:3, 3]
+            if c_c[2] <= 0.1:
+                continue
+            u = self.intr.fx * c_c[0] / c_c[2] + self.intr.cx
+            v = self.intr.fy * c_c[1] / c_c[2] + self.intr.cy
+            if abs(u - cx) < 80 and abs(v - cy) < 80:
+                return True
+        return False
+
+    def export_packet(self) -> List[dict]:
+        """One result.json packet (evaluation.cpp:163-198 layout)."""
+        out = []
+        for tr in self.tracks.values():
+            out.append({
+                "id": tr.oid,
+                "model_name": tr.model_name,
+                "status": tr.status,
+                "model_pose": [float(x)
+                               for x in tr.pose_wm[:3, :4].reshape(-1)],
+            })
+        return out
+
+    def write_result_json(self, path: str) -> None:
+        with open(path, "w") as fp:
+            json.dump(self.history, fp, indent=1)
