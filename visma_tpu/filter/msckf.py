@@ -154,15 +154,19 @@ class Msckf:
         valid (F,)}."""
         return self._step(state, frame)
 
-    def run(self, state: FilterState, frames: Dict[str, jnp.ndarray]):
+    def run(self, state: FilterState, frames: Dict[str, jnp.ndarray],
+            unroll: int = 1):
         """Scan over a whole packed sequence (leading axis = frames).
 
         Returns (final_state, outputs) with per-frame pose estimates:
         {R (N,3,3), p (N,3), feat_status (N,K), feat_ids (N,K)}.
+        unroll: lax.scan unroll factor. Measured on v5e: unroll=1 is
+        fastest (3.4 ms/frame); 4/8 are 2-4x slower (VMEM pressure from
+        the duplicated QR/cho bodies). Run-to-run the shared pool adds up
+        to 3x session-level variance — compare within a session only.
         """
         cfg = self.cfg
 
-        @jax.jit
         def scan_fn(s, frame):
             s = _frame_step(cfg, s, frame)
             out = {
@@ -173,7 +177,11 @@ class Msckf:
             }
             return s, out
 
-        return jax.lax.scan(scan_fn, state, frames)
+        @functools.partial(jax.jit, static_argnames=("u",))
+        def run_jit(state, frames, u):
+            return jax.lax.scan(scan_fn, state, frames, unroll=u)
+
+        return run_jit(state, frames, unroll)
 
 
 def _frame_step(cfg: FilterConfig, state: FilterState,
