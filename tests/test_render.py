@@ -105,6 +105,52 @@ class TestDepth:
         both = np.isfinite(a) & np.isfinite(b)
         np.testing.assert_allclose(a[both], b[both], atol=1e-3)
 
+    def test_chunked_pallas_matches_binned(self):
+        """The production TPU kernel (plane-equation, chunk-skipping) must
+        agree with the XLA tile path pixel-for-pixel (interpret mode)."""
+        from visma_tpu.render.raster import (rasterize_depth_chunked,
+                                             sort_faces_morton)
+
+        V, F = icosphere(subdiv=2, r=0.5)
+        V = V + np.array([0, 0, 2.0], np.float32)
+        F = sort_faces_morton(V, F)
+        rng = np.random.default_rng(3)
+        poses = []
+        for _ in range(3):
+            th = rng.uniform(0, 2 * np.pi)
+            c, s = np.cos(th), np.sin(th)
+            P = np.zeros((3, 4), np.float32)
+            P[:, :3] = [[c, 0, s], [0, 1, 0], [-s, 0, c]]
+            poses.append(P)
+        poses = jnp.asarray(np.stack(poses))
+        ref = jax.vmap(lambda p: rasterize_depth(
+            jnp.asarray(V), jnp.asarray(F), p, INTR, 32, 512))(poses)
+        new = rasterize_depth_chunked(jnp.asarray(V), jnp.asarray(F), poses,
+                                      INTR, 32, interpret=True)
+        ref, new = np.asarray(ref), np.asarray(new)
+        assert (np.isfinite(ref) == np.isfinite(new)).all()
+        both = np.isfinite(ref) & np.isfinite(new)
+        np.testing.assert_allclose(ref[both], new[both], atol=1e-3)
+
+    def test_morton_sort_is_permutation(self):
+        from visma_tpu.render.raster import sort_faces_morton
+
+        V, F = icosphere(subdiv=1, r=0.5)
+        Fs = sort_faces_morton(V, F)
+        assert Fs.shape == F.shape
+        assert {tuple(sorted(f)) for f in Fs.tolist()} == \
+            {tuple(sorted(f)) for f in F.tolist()}
+
+    def test_chunked_clipping(self):
+        from visma_tpu.render.raster import rasterize_depth_chunked
+
+        for z in (0.01, -2.0):  # near-plane violation / behind camera
+            V, F = quad(z=z)
+            d = np.asarray(rasterize_depth_chunked(
+                jnp.asarray(V), jnp.asarray(F), IDENTITY[None], INTR,
+                interpret=True))[0]
+            assert np.isinf(d).all()
+
     def test_near_plane_clipping(self):
         V, F = quad(z=0.01)  # in front of near plane
         d = np.asarray(rasterize_depth(jnp.asarray(V), jnp.asarray(F),
