@@ -60,6 +60,100 @@ class TestCem:
         assert score < 0.3, score
 
 
+class TestOcclusion:
+    def make_scene(self):
+        """Occluder box in front, L-mesh target partially hidden behind."""
+        from tests.test_eval import cube_mesh
+
+        V, F = l_mesh()
+        target = Renderer(INTR, capacity=96)
+        target.set_mesh(V, F)
+        Vo, Fo = cube_mesh(1.0)
+        Vo = Vo * np.array([0.18, 0.5, 0.1], np.float32)
+        occluder = Renderer(INTR, capacity=96)
+        occluder.set_mesh(Vo, Fo)
+
+        T_t = np.eye(4, dtype=np.float32)
+        T_t[:3, 3] = [0.12, 0.0, 2.2]          # target behind...
+        T_o = np.eye(4, dtype=np.float32)
+        T_o[:3, 3] = [0.0, 0.0, 1.4]           # ...occluder in front (~40%
+        return target, occluder, T_t, T_o      # of the target hidden)
+
+    def test_scene_depth_joint_zbuffer(self):
+        from visma_tpu.render import scene_depth
+
+        target, occluder, T_t, T_o = self.make_scene()
+        joint, stack = scene_depth(
+            [target, occluder],
+            [jnp.asarray(T_t[:3, :4]), jnp.asarray(T_o[:3, :4])])
+        joint, stack = np.asarray(joint), np.asarray(stack)
+        # joint is the pixelwise min; both objects visible somewhere
+        np.testing.assert_array_equal(joint, stack.min(0))
+        vis_t = np.isfinite(stack[0]) & (stack[0] == joint)
+        vis_o = np.isfinite(stack[1]) & (stack[1] == joint)
+        assert vis_t.sum() > 100 and vis_o.sum() > 100
+        # where they overlap, the (nearer) occluder wins
+        overlap = np.isfinite(stack).all(0)
+        assert overlap.sum() > 50
+        assert (joint[overlap] == stack[1][overlap]).all()
+
+    def test_occlusion_aware_score_prefers_truth(self):
+        """With the true scene partially occluded, occlusion-aware scoring
+        must rank the true target pose above a laterally shifted one."""
+        from visma_tpu.image.edges import depth_edge
+        from visma_tpu.render.likelihood import (edge_distance_transform,
+                                                 occlusion_aware_edge_score)
+
+        target, occluder, T_t, T_o = self.make_scene()
+        d_t = target.render_depth(jnp.asarray(T_t[:3, :4]))
+        d_o = occluder.render_depth(jnp.asarray(T_o[:3, :4]))
+        observed = depth_edge(jnp.minimum(d_t, d_o))  # true composite edges
+        dt = edge_distance_transform(observed)
+
+        wrong = T_t.copy()
+        wrong[:3, 3] += [0.18, 0.12, 0.0]
+        hyps = jnp.stack([target.render_depth(jnp.asarray(T_t[:3, :4])),
+                          target.render_depth(jnp.asarray(wrong[:3, :4]))])
+        scores = np.asarray(occlusion_aware_edge_score(
+            hyps, d_o, dt, observed))
+        assert scores[0] < scores[1], scores
+
+    def test_mapper_multi_object_refines_occluded(self):
+        """Two tracked objects, one partially occluded: both poses tighten."""
+        from visma_tpu.image.edges import depth_edge
+        from tests.test_eval import cube_mesh
+
+        target, occluder, T_t, T_o = self.make_scene()
+        V, F = l_mesh()
+        Vo, Fo = cube_mesh(1.0)
+        Vo = Vo * np.array([0.18, 0.5, 0.1], np.float32)
+        mapper = SemanticMapper(INTR, {"lchair": (V, F), "box": (Vo, Fo)},
+                                cem_iters=4, cem_samples=48)
+        gwc0 = np.hstack([np.eye(3), np.zeros((3, 1))])
+        observed = np.asarray(depth_edge(jnp.minimum(
+            target.render_depth(jnp.asarray(T_t[:3, :4])),
+            occluder.render_depth(jnp.asarray(T_o[:3, :4])))))
+
+        # seed tracks manually at perturbed poses
+        from visma_tpu.semantic.mapper import ObjectTrack
+
+        p_t = T_t.copy(); p_t[:3, 3] += [0.08, -0.06, 0.0]
+        p_o = T_o.copy(); p_o[:3, 3] += [-0.06, 0.05, 0.0]
+        mapper.tracks[0] = ObjectTrack(oid=0, model_name="lchair",
+                                       pose_wm=p_t)
+        mapper.tracks[1] = ObjectTrack(oid=1, model_name="box", pose_wm=p_o)
+
+        for _ in range(2):
+            mapper.step(gwc0, observed)
+
+        err_t = np.linalg.norm(
+            (mapper.tracks[0].pose_wm[:3, 3] - T_t[:3, 3])[:2])
+        err_o = np.linalg.norm(
+            (mapper.tracks[1].pose_wm[:3, 3] - T_o[:3, 3])[:2])
+        assert err_t < 0.07, err_t   # was 0.10 lateral
+        assert err_o < 0.06, err_o   # was 0.078 lateral
+
+
 class TestMapper:
     def test_spawn_track_and_export(self, tmp_path):
         V, F = l_mesh()

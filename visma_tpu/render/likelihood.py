@@ -107,6 +107,53 @@ def symmetric_edge_score(rendered_edges: jnp.ndarray, dt: jnp.ndarray,
     return score
 
 
+@functools.partial(jax.jit, static_argnames=("tau", "radius",
+                                             "coverage_weight"))
+def occlusion_aware_edge_score(rendered_depth: jnp.ndarray,
+                               occluder_depth: jnp.ndarray,
+                               dt: jnp.ndarray,
+                               observed_edges: jnp.ndarray,
+                               tau: float = 10.0, radius: int = 2,
+                               coverage_weight: float = 5.0) -> jnp.ndarray:
+    """Score pose hypotheses of ONE object in a multi-object scene.
+
+    rendered_depth (B, H, W): hypothesis depth renders of the object;
+    occluder_depth (H, W): joint z-buffer of all OTHER objects at their
+    current poses (+inf where none). Edges are taken on the composited
+    min-depth, so the occluding contour between the object and its
+    occluders is rendered exactly where the real depth discontinuity is;
+    edges attributable only to the occluders (constant across hypotheses)
+    are subtracted so they neither add chamfer mass nor fake coverage.
+
+    This is the multi-object generalization of the papers' per-hypothesis
+    likelihood (the reference renderer scores one isolated mesh per call,
+    render/renderer.cpp:353-400 — no occlusion handling exists there).
+    """
+    from visma_tpu.image.edges import depth_edge
+
+    occ = occluder_depth[None]
+    joint = jnp.minimum(rendered_depth, occ)
+    e_joint = depth_edge(joint)
+    e_occ = depth_edge(jnp.broadcast_to(occ, joint.shape))
+    attributable = jnp.maximum(e_joint - e_occ, 0.0)
+    return symmetric_edge_score(attributable, dt, observed_edges, tau=tau,
+                                radius=radius,
+                                coverage_weight=coverage_weight)
+
+
+def scene_depth(renderers, poses_cm):
+    """Joint z-buffer over N objects: renderers[i] (mesh set) at pose
+    poses_cm[i] (3,4)/(4,4) model->camera. Returns (joint (H,W) depth with
+    +inf background, per-object depth stack (N,H,W)).
+
+    Per-object visibility masks are `(stack == joint) & isfinite(joint)` —
+    the TPU-native equivalent of rendering each mesh into one shared GL
+    depth buffer (the reference renders one mesh per FBO pass;
+    renderer.cpp:303-351)."""
+    ds = jnp.stack([r.render_depth(p) for r, p in zip(renderers, poses_cm)])
+    return jnp.min(ds, axis=0), ds
+
+
 def score_hypotheses(renderer, g_cm: jnp.ndarray,
                      observed_edges: jnp.ndarray,
                      tau: float = 10.0, dt_iters: int = 32) -> jnp.ndarray:

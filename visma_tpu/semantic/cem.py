@@ -15,6 +15,7 @@ import numpy as np
 
 from visma_tpu.geom import SE3
 from visma_tpu.render.likelihood import (edge_distance_transform,
+                                          occlusion_aware_edge_score,
                                           symmetric_edge_score)
 
 
@@ -25,12 +26,16 @@ def refine_pose_cem(renderer, observed_edges: jnp.ndarray,
                     init_sigma: Tuple[float, float] = (0.15, 0.08),
                     yaw_only: bool = False,
                     seed: int = 0,
-                    tau: float = 10.0) -> Tuple[np.ndarray, float]:
+                    tau: float = 10.0,
+                    occluder_depth: Optional[jnp.ndarray] = None,
+                    ) -> Tuple[np.ndarray, float]:
     """Refine a (3,4) or (4,4) model->camera pose against observed edges.
 
     init_sigma: (rotation rad, translation m) initial sampling stddevs.
     yaw_only: restrict rotation sampling to the camera-Y axis (gravity-
     aligned object assumption, as in the annotation tool's yaw sweep).
+    occluder_depth: optional (H, W) joint depth of all other scene objects;
+    when given, hypotheses are scored occlusion-aware (composited z-buffer).
     Returns (refined (3,4) pose, best score).
     """
     dt = edge_distance_transform(jnp.asarray(observed_edges))
@@ -52,9 +57,14 @@ def refine_pose_cem(renderer, observed_edges: jnp.ndarray,
         # frame (object center), not the camera origin
         perturb = SE3.exp(jnp.asarray(xi))
         hyps = jax.vmap(lambda d: (mean @ d).matrix3x4())(perturb)
-        edges = renderer.render_edge(hyps)
         obs = jnp.asarray(observed_edges)
-        scores = np.asarray(symmetric_edge_score(edges, dt, obs, tau=tau))
+        if occluder_depth is not None:
+            depths = renderer.render_depth(hyps)
+            scores = np.asarray(occlusion_aware_edge_score(
+                depths, jnp.asarray(occluder_depth), dt, obs, tau=tau))
+        else:
+            edges = renderer.render_edge(hyps)
+            scores = np.asarray(symmetric_edge_score(edges, dt, obs, tau=tau))
 
         order = np.argsort(scores)
         elite = xi[order[:n_elite]]

@@ -90,17 +90,35 @@ class SemanticMapper:
 
         import jax.numpy as jnp
 
-        for tr in self.tracks.values():
+        # occlusion-aware multi-object refinement: each track's hypotheses
+        # are scored against the joint z-buffer of the OTHER tracks at
+        # their current poses (front-to-back so near objects settle first)
+        tracks = list(self.tracks.values())
+        depths = {}
+        for tr in tracks:
             pose_cm = (G_cw @ tr.pose_wm)[:3, :4]
+            depths[tr.oid] = self._renderer(tr.model_name).render_depth(
+                jnp.asarray(pose_cm, jnp.float32))
+        tracks.sort(key=lambda tr: (G_cw @ tr.pose_wm)[2, 3])
+
+        for tr in tracks:
+            pose_cm = (G_cw @ tr.pose_wm)[:3, :4]
+            occ = None
+            if len(tracks) > 1:
+                occ = jnp.min(jnp.stack(
+                    [depths[o.oid] for o in tracks if o.oid != tr.oid]),
+                    axis=0)
             refined, score = refine_pose_cem(
                 self._renderer(tr.model_name), jnp.asarray(edge_map),
                 pose_cm, iters=self.cem_iters, samples=self.cem_samples,
-                seed=tr.age)
+                seed=tr.age, occluder_depth=occ)
             T_cm = np.eye(4)
             T_cm[:3, :4] = refined
             tr.pose_wm = G @ T_cm
             tr.score = score
             tr.age += 1
+            depths[tr.oid] = self._renderer(tr.model_name).render_depth(
+                jnp.asarray(refined, jnp.float32))
 
         self.history.append(self.export_packet())
 
