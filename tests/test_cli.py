@@ -68,6 +68,17 @@ def test_run_vio_synthetic(tmp_path, capsys):
     assert os.path.exists(tmp_path / "est" / "dataset")
 
 
+def test_run_vio_no_imu(capsys):
+    """Vision-only fallback from the CLI: sim-aligned ATE stays bounded."""
+    from visma_tpu.cli.run_vio import main
+
+    main(["--synthetic", "24", "--no-imu"])
+    out = capsys.readouterr().out
+    rec = json.loads(out.strip().splitlines()[0])
+    assert rec["frames"] == 24
+    assert rec["ate_sim_aligned_m"] < 0.1
+
+
 def test_show_2dmap(tmp_path):
     from visma_tpu.cli.show_2dmap import main
     from visma_tpu.io import save_mat

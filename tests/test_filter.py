@@ -136,6 +136,81 @@ class TestEndToEnd:
         assert np.isfinite(P).all()
         np.testing.assert_allclose(P, P.T, atol=1e-6)
 
+    def test_vision_only_recovery(self):
+        """IMU-less fallback (cfg.use_imu=False): the constant-velocity
+        prior + vision updates recover the trajectory up to similarity
+        gauge (VISMA sequences carry no raw IMU — SURVEY.md §0)."""
+        from visma_tpu.align.umeyama import umeyama
+        from visma_tpu.filter.imu import propagate_cv
+
+        # fast orbit (1.2 rad/s): a straight-line CV rollout visibly
+        # diverges from the curve, so vision has something to prove
+        syn = SyntheticConfig(num_frames=90, num_landmarks=120,
+                              pixel_noise=0.5, angular_rate=1.2, seed=5)
+        cfg = FilterConfig(use_imu=False, window=8, max_tracks=96,
+                           max_updates=24,
+                           fx=syn.fx, fy=syn.fy, cx=syn.cx, cy=syn.cy,
+                           pixel_noise=0.5,
+                           cv_rot_noise=0.3, cv_vel_noise=2.0)
+        ds = make_dataset(syn)
+        frames_np = pack_frames(cfg, ds, None, max_feats=96)
+        _, gwc = make_trajectory(syn)
+        dt0 = frames_np["ts"][1] - frames_np["ts"][0]
+        v0 = (gwc[1, :, 3] - gwc[0, :, 3]) / dt0
+
+        kf = Msckf(cfg)
+        s0 = kf.init(R0=gwc[0, :, :3], p0=gwc[0, :, 3], v0=v0)
+        frames = {k: jnp.asarray(v) for k, v in frames_np.items()
+                  if k != "ts"}
+        final, outs = kf.run(s0, frames)
+        p_est = np.asarray(outs["p"])
+        p_gt = gwc[:, :, 3]
+
+        # similarity-align (scale is a gauge freedom without an
+        # accelerometer), then ATE
+        T = np.asarray(umeyama(jnp.asarray(p_est, jnp.float32),
+                               jnp.asarray(p_gt, jnp.float32),
+                               with_scaling=True))
+        p_al = p_est @ T[:3, :3].T + T[:3, 3]
+        ate = ate_rmse(p_al, p_gt)
+        assert ate < 0.08, f"sim-aligned ATE {ate:.4f} m"
+
+        # must clearly beat the vision-free constant-velocity rollout on
+        # the same gauge-free footing (similarity-aligned both): vision
+        # recovers the trajectory *shape*, dead reckoning cannot
+        s = kf.init(R0=gwc[0, :, :3], p0=gwc[0, :, 3], v0=v0)
+        ps = []
+        for i in range(len(ds.packets)):
+            s = propagate_cv(cfg, s, jnp.sum(frames["dts"][i]))
+            ps.append(np.asarray(s.p))
+        ps = np.asarray(ps)
+        Tc = np.asarray(umeyama(jnp.asarray(ps, jnp.float32),
+                                jnp.asarray(p_gt, jnp.float32),
+                                with_scaling=True))
+        ate_cv = ate_rmse(ps @ Tc[:3, :3].T + Tc[:3, 3], p_gt)
+        assert ate < ate_cv * 0.5, (ate, ate_cv)
+
+        P = np.asarray(final.P)
+        assert np.isfinite(P).all()
+
+    def test_cv_propagation_semantics(self):
+        """propagate_cv: position integrates velocity; attitude, velocity
+        and biases are held; covariance grows only in rot/vel blocks."""
+        from visma_tpu.filter.imu import propagate_cv
+        cfg = FilterConfig(use_imu=False)
+        s = init_state(cfg, v0=np.array([1.0, -2.0, 0.5]))
+        out = propagate_cv(cfg, s, jnp.float32(0.1))
+        np.testing.assert_allclose(np.asarray(out.p),
+                                   np.asarray(s.v) * 0.1, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out.R), np.asarray(s.R))
+        np.testing.assert_allclose(np.asarray(out.v), np.asarray(s.v))
+        P0, P1 = np.asarray(s.P), np.asarray(out.P)
+        assert P1[0, 0] > P0[0, 0] and P1[6, 6] > P0[6, 6]
+        # bias blocks frozen
+        np.testing.assert_allclose(P1[9:15, 9:15], P0[9:15, 9:15],
+                                   atol=1e-7)
+        np.testing.assert_allclose(P1, P1.T, atol=1e-7)
+
     def test_vision_beats_dead_reckoning_with_bias(self):
         """With a gyro bias, vision updates must clearly beat pure IMU."""
         syn = SyntheticConfig(num_frames=60, num_landmarks=120, seed=4)

@@ -6,6 +6,11 @@ config 3). Two modes:
     frontend produced them) + an IMU npz {ts, gyro, accel};
   synthetic: generate a sequence on the fly (--synthetic N frames).
 
+--no-imu runs the vision-only fallback (constant-velocity process model,
+cfg.use_imu=False) for the actual VISMA distribution, which ships no raw
+IMU (SURVEY.md §0). Scale is then a gauge freedom; ATE is also reported
+after similarity alignment.
+
 Writes the estimated trajectory as a vlslam dataset (loadable by
 example_load) and prints ATE vs the reference poses when available.
 """
@@ -28,6 +33,8 @@ def main(argv=None):
     ap.add_argument("--window", type=int, default=8)
     ap.add_argument("--max-tracks", type=int, default=96)
     ap.add_argument("--pixel-noise", type=float, default=0.5)
+    ap.add_argument("--no-imu", action="store_true",
+                    help="vision-only mode (constant-velocity prior)")
     args = ap.parse_args(argv)
 
     from visma_tpu.utils.platform import configure_platform
@@ -47,15 +54,19 @@ def main(argv=None):
                               pixel_noise=args.pixel_noise)
         cfg = FilterConfig(window=args.window, max_tracks=args.max_tracks,
                            fx=syn.fx, fy=syn.fy, cx=syn.cx, cy=syn.cy,
-                           pixel_noise=max(args.pixel_noise, 0.5))
+                           pixel_noise=max(args.pixel_noise, 0.5),
+                           use_imu=not args.no_imu)
         ds = make_dataset(syn)
-        imu = make_imu(syn)
+        imu = None if args.no_imu else make_imu(syn)
         _, gwc = make_trajectory(syn)
-        R0, p0, v0 = gwc[0, :, :3], gwc[0, :, 3], imu["v0"]
+        R0, p0 = gwc[0, :, :3], gwc[0, :, 3]
         ref_p = gwc[:, :, 3]
+        v0 = (imu["v0"] if imu is not None
+              else (gwc[1, :, 3] - gwc[0, :, 3]) * syn.fps)
     else:
-        if not args.dataroot or not args.imu:
-            ap.error("--dataroot and --imu required (or use --synthetic N)")
+        if not args.dataroot or (args.imu is None and not args.no_imu):
+            ap.error("--dataroot and --imu required "
+                     "(or --no-imu, or --synthetic N)")
         from visma_tpu.io import VlslamDatasetLoader
 
         loader = VlslamDatasetLoader(args.dataroot)
@@ -64,13 +75,22 @@ def main(argv=None):
         cfg = FilterConfig(window=args.window, max_tracks=args.max_tracks,
                            fx=float(p[0]), fy=float(p[1]), cx=float(p[2]),
                            cy=float(p[3]),
-                           pixel_noise=max(args.pixel_noise, 0.5))
-        imu_npz = np.load(args.imu)
-        imu = {k: imu_npz[k] for k in ("ts", "gyro", "accel")}
-        imu["v0"] = imu_npz.get("v0", np.zeros(3))
+                           pixel_noise=max(args.pixel_noise, 0.5),
+                           use_imu=not args.no_imu)
+        if args.no_imu:
+            imu = None
+        else:
+            imu_npz = np.load(args.imu)
+            imu = {k: imu_npz[k] for k in ("ts", "gyro", "accel")}
+            imu["v0"] = imu_npz.get("v0", np.zeros(3))
         g0 = loader.pose(0)
-        R0, p0, v0 = g0[:, :3], g0[:, 3], imu["v0"]
+        R0, p0 = g0[:, :3], g0[:, 3]
         ref_p = np.stack([loader.pose(i)[:, 3] for i in range(len(loader))])
+        if imu is not None:
+            v0 = imu["v0"]
+        else:
+            dt0 = max(ds.packets[1].ts - ds.packets[0].ts, 1e-6)
+            v0 = (ref_p[1] - ref_p[0]) / dt0
 
     frames = {k: jnp.asarray(v)
               for k, v in pack_frames(cfg, ds, imu,
@@ -82,7 +102,17 @@ def main(argv=None):
 
     p_est = np.asarray(outs["p"])
     ate = float(np.sqrt(np.mean(np.sum((p_est - ref_p) ** 2, axis=1))))
-    print(json.dumps({"frames": len(p_est), "ate_rmse_m": round(ate, 5)}))
+    report = {"frames": len(p_est), "ate_rmse_m": round(ate, 5)}
+    if args.no_imu:
+        from visma_tpu.align.umeyama import umeyama
+
+        T = np.asarray(umeyama(jnp.asarray(p_est, jnp.float32),
+                               jnp.asarray(ref_p, jnp.float32),
+                               with_scaling=True))
+        p_al = p_est @ T[:3, :3].T + T[:3, 3]
+        ate_al = float(np.sqrt(np.mean(np.sum((p_al - ref_p) ** 2, axis=1))))
+        report["ate_sim_aligned_m"] = round(ate_al, 5)
+    print(json.dumps(report))
 
     if args.output:
         import os

@@ -36,6 +36,15 @@ class FilterConfig:
 
     gravity: float = 9.81
 
+    # vision-only fallback: when False, IMU mechanization is replaced by a
+    # constant-velocity / constant-attitude process model (the VISMA
+    # sequences ship images + upstream-VIO outputs but no raw IMU;
+    # SURVEY §0). Scale is then a gauge freedom — evaluate ATE after
+    # similarity alignment.
+    use_imu: bool = True
+    cv_rot_noise: float = 0.05   # rad/sqrt(s) attitude random walk
+    cv_vel_noise: float = 0.5    # m/s/sqrt(s) velocity random walk
+
     # camera-IMU extrinsics T_bc (camera frame expressed in body/IMU
     # frame): G_wc = G_wb * T_bc. Tuples (hashable for jit closure
     # capture); identity = camera == body.

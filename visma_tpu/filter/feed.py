@@ -14,10 +14,15 @@ from visma_tpu.proto import Dataset
 
 
 def pack_frames(cfg: FilterConfig, dataset: Dataset,
-                imu: Dict[str, np.ndarray],
+                imu: Optional[Dict[str, np.ndarray]] = None,
                 max_feats: Optional[int] = None) -> Dict[str, np.ndarray]:
     """Returns {gyro (N,S,3), accel (N,S,3), dts (N,S), ids (N,F), xp
-    (N,F,2), valid (N,F), ts (N,)}."""
+    (N,F,2), valid (N,F), ts (N,)}.
+
+    imu=None is the vision-only path (cfg.use_imu=False): gyro/accel stay
+    zero and the full inter-frame interval lands in the last dts slot, so
+    sum(dts) — all propagate_cv consumes — is exact.
+    """
     N = len(dataset.packets)
     S = cfg.imu_per_frame
     F = max_feats or cfg.max_tracks
@@ -32,11 +37,13 @@ def pack_frames(cfg: FilterConfig, dataset: Dataset,
         "ts": np.zeros(N, np.float64),
     }
 
-    imu_ts = imu["ts"]
+    imu_ts = imu["ts"] if imu is not None else None
     prev_t = dataset.packets[0].ts
     for i, p in enumerate(dataset.packets):
         out["ts"][i] = p.ts
-        if i > 0:
+        if i > 0 and imu is None:
+            out["dts"][i, -1] = p.ts - prev_t
+        elif i > 0:
             # epsilon guards against float drift between frame stamps
             # (k / fps) and sample stamps (k * spf * dt)
             sel = (imu_ts > prev_t + 1e-9) & (imu_ts <= p.ts + 1e-9)

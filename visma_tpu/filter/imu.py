@@ -55,6 +55,27 @@ def _step(cfg: FilterConfig, state: FilterState, gyro, accel, dt):
                          t=state.t + dt)
 
 
+def propagate_cv(cfg: FilterConfig, state: FilterState,
+                 dt: jnp.ndarray) -> FilterState:
+    """Vision-only process model: constant velocity, constant attitude,
+    biases frozen (their noise stays zero so they never move). Used when
+    cfg.use_imu is False — the fallback for sequences without raw IMU.
+
+    Error-state transition: dp' = dp + dv dt; attitude and velocity pick up
+    random-walk process noise (cv_rot_noise / cv_vel_noise)."""
+    D = cfg.dim
+    p_new = state.p + state.v * dt
+
+    F = jnp.eye(D, dtype=jnp.float32).at[3:6, 6:9].set(jnp.eye(3) * dt)
+    Q = jnp.zeros((D, D), jnp.float32)
+    Q = Q.at[0:3, 0:3].set(jnp.eye(3) * cfg.cv_rot_noise**2 * dt)
+    Q = Q.at[6:9, 6:9].set(jnp.eye(3) * cfg.cv_vel_noise**2 * dt)
+
+    P_new = mm(mm(F, state.P), F.T) + Q
+    P_new = 0.5 * (P_new + P_new.T)
+    return state.replace(p=p_new, P=P_new, t=state.t + dt)
+
+
 def propagate(cfg: FilterConfig, state: FilterState, gyro: jnp.ndarray,
               accel: jnp.ndarray, dts: jnp.ndarray) -> FilterState:
     """Scan over a fixed-size IMU batch; masked samples carry dt == 0.

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from visma_tpu.filter.config import FilterConfig
-from visma_tpu.filter.imu import propagate
+from visma_tpu.filter.imu import propagate, propagate_cv
 from visma_tpu.filter.state import FilterState, TrackTable, init_state
 from visma_tpu.filter.update import msckf_update
 from visma_tpu.proto import FeatureStatus
@@ -195,8 +195,13 @@ def _frame_step(cfg: FilterConfig, state: FilterState,
 
 def _frame_step_inner(cfg: FilterConfig, state: FilterState,
                       frame: Dict[str, jnp.ndarray]) -> FilterState:
-    # 1. IMU propagation to the frame time
-    state = propagate(cfg, state, frame["gyro"], frame["accel"], frame["dts"])
+    # 1. propagation to the frame time: IMU mechanization, or the
+    # constant-velocity prior in vision-only mode (static config branch)
+    if cfg.use_imu:
+        state = propagate(cfg, state, frame["gyro"], frame["accel"],
+                          frame["dts"])
+    else:
+        state = propagate_cv(cfg, state, jnp.sum(frame["dts"]))
     # 2. clone the camera pose into the window
     state = _augment(cfg, state)
     # 3. ingest feature observations
