@@ -58,6 +58,19 @@ class FilterConfig:
         return not (_np.allclose(self.cam_R_bc, _np.eye(3))
                     and _np.allclose(self.cam_p_bc, 0.0))
 
+    # online calibration: append error states for the camera-IMU
+    # extrinsics (6: attitude+position, right-perturbation
+    # R_bc <- R_bc exp(hat(dtheta_bc))) and/or the camera-IMU time offset
+    # (1: frame stamped at t_imu + td). Both enter measurements through
+    # the clone Jacobian built at augment time (the clone pose is a
+    # function of the calibration), so update.py needs no changes.
+    estimate_extrinsics: bool = False
+    estimate_td: bool = False
+    init_ext_att_std: float = 0.03   # rad
+    init_ext_pos_std: float = 0.03   # m
+    init_td_std: float = 0.02        # s
+    td0: float = 0.0                 # initial time-offset estimate (s)
+
     # update gating
     min_track_obs: int = 3
     max_reproj_error: float = 30.0  # px, triangulation sanity gate
@@ -66,5 +79,17 @@ class FilterConfig:
 
     @property
     def dim(self) -> int:
-        """Error-state dimension: 15 IMU + 6 per clone."""
+        """Error-state dimension: 15 IMU + 6 per clone + calibration."""
+        return (15 + 6 * self.window + 6 * self.estimate_extrinsics
+                + 1 * self.estimate_td)
+
+    @property
+    def ext_idx(self) -> int:
+        """First column of the extrinsics error block (valid iff
+        estimate_extrinsics)."""
         return 15 + 6 * self.window
+
+    @property
+    def td_idx(self) -> int:
+        """Column of the time-offset error (valid iff estimate_td)."""
+        return 15 + 6 * self.window + 6 * self.estimate_extrinsics

@@ -19,39 +19,66 @@ from visma_tpu.filter.update import msckf_update
 from visma_tpu.proto import FeatureStatus
 
 
-def _augment(cfg: FilterConfig, state: FilterState) -> FilterState:
+def _augment(cfg: FilterConfig, state: FilterState,
+             omega=None) -> FilterState:
     """Roll the clone window left and clone the current CAMERA pose into
-    slot M-1 (G_wc = G_wb * T_bc). Covariance rows/cols permute; the new
-    clone's attitude error aliases the IMU attitude error exactly
-    (world-frame error convention), and its position error is
-    dp_c = dp - hat(R_wb p_bc) dtheta — identity when extrinsics are."""
-    M, D = cfg.window, cfg.dim
-    R_bc = jnp.asarray(cfg.cam_R_bc, jnp.float32)
-    p_bc = jnp.asarray(cfg.cam_p_bc, jnp.float32)
+    slot M-1 (G_wc = G_wb(t+td) * T_bc, first-order in td). Covariance
+    rows/cols permute; the new clone's attitude error aliases the IMU
+    attitude error (world-frame error convention), plus calibration
+    couplings when those errors are in the state:
 
-    cam_R = state.R @ R_bc
-    cam_p = state.p + state.R @ p_bc
+      dθ_c = dθ_b + R_wc dθ_bc + (R_wb ω_b) dtd
+      dp_c = dp_b - hat(R_wb p_bc) dθ_b + R_wb dp_bc
+             + (v_w + R_wb (ω_b × p_bc)) dtd
+
+    omega: (3,) body angular rate at the frame (bias-corrected last gyro
+    sample); None/zeros in vision-only mode (td attitude column vanishes).
+    """
+    from visma_tpu.geom.rotations import hat, mm, rodrigues
+
+    M, D = cfg.window, cfg.dim
+    R_bc, p_bc, td = state.R_bc, state.p_bc, state.td
+    if omega is None:
+        omega = jnp.zeros(3, jnp.float32)
+
+    # nominal first-order time-offset correction: pose at t + td
+    R_b = mm(rodrigues(state.R @ omega * td), state.R)
+    p_b = state.p + state.v * td
+
+    cam_R = R_b @ R_bc
+    cam_p = p_b + R_b @ p_bc
     win_R = jnp.concatenate([state.win_R[1:], cam_R[None]], axis=0)
     win_p = jnp.concatenate([state.win_p[1:], cam_p[None]], axis=0)
     win_valid = jnp.concatenate([state.win_valid[1:],
                                  jnp.ones(1, bool)], axis=0)
 
     # permutation-with-duplication: new index -> old index
-    # IMU block unchanged [0:15); clones shift: new clone m <- old clone m+1
+    # IMU block unchanged [0:15); clones shift: new clone m <- old clone
+    # m+1; calibration tail (if any) stays put
     clone_src = jnp.concatenate([
         15 + 6 + jnp.arange(6 * (M - 1)),     # clones 0..M-2 <- old 1..M-1
         jnp.arange(0, 6),                      # new clone <- IMU att/pos
     ])
-    perm = jnp.concatenate([jnp.arange(15), clone_src])
+    perm = jnp.concatenate([jnp.arange(15), clone_src,
+                            jnp.arange(15 + 6 * M, D)])
     P = state.P[perm][:, perm]
 
-    if cfg.has_extrinsics:
-        # correct the new clone's position rows: dp_c = dp - hat(R p_bc) dθ
-        from visma_tpu.geom.rotations import hat, mm
-
+    needs_J = (cfg.has_extrinsics or cfg.estimate_extrinsics
+               or cfg.estimate_td)
+    if needs_J:
+        ra = 15 + 6 * (M - 1)       # new clone attitude rows
+        rp = ra + 3                 # new clone position rows
         J = jnp.eye(D, dtype=jnp.float32)
-        row = 15 + 6 * (M - 1) + 3
-        J = J.at[row : row + 3, row - 3 : row].set(-hat(state.R @ p_bc))
+        J = J.at[rp : rp + 3, ra : ra + 3].set(-hat(state.R @ p_bc))
+        if cfg.estimate_extrinsics:
+            c = cfg.ext_idx
+            J = J.at[ra : ra + 3, c : c + 3].set(cam_R)
+            J = J.at[rp : rp + 3, c + 3 : c + 6].set(state.R)
+        if cfg.estimate_td:
+            c = cfg.td_idx
+            J = J.at[ra : ra + 3, c].set(state.R @ omega)
+            J = J.at[rp : rp + 3, c].set(
+                state.v + state.R @ jnp.cross(omega, p_bc))
         P = mm(mm(J, P), J.T)
     P = 0.5 * (P + P.T)
     return state.replace(win_R=win_R, win_p=win_p, win_valid=win_valid, P=P)
@@ -200,10 +227,16 @@ def _frame_step_inner(cfg: FilterConfig, state: FilterState,
     if cfg.use_imu:
         state = propagate(cfg, state, frame["gyro"], frame["accel"],
                           frame["dts"])
+        # body rate at the frame (bias-corrected last unmasked sample),
+        # for the time-offset clone Jacobian / nominal td correction
+        n = jnp.sum(frame["dts"] > 0)
+        idx = jnp.clip(n - 1, 0, frame["gyro"].shape[0] - 1)
+        omega = (frame["gyro"][idx] - state.bg) * (n > 0)
     else:
         state = propagate_cv(cfg, state, jnp.sum(frame["dts"]))
+        omega = None
     # 2. clone the camera pose into the window
-    state = _augment(cfg, state)
+    state = _augment(cfg, state, omega)
     # 3. ingest feature observations
     tracks, lost = _ingest(cfg, state.tracks, frame["ids"], frame["xp"],
                            frame["valid"])

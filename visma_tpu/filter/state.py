@@ -71,6 +71,10 @@ class FilterState:
     bg, ba: (3,) biases. win_R (M,3,3) / win_p (M,3) are camera pose clones
     (world <- camera); win_valid (M,) marks filled slots. P is the (D, D)
     error covariance. t is the current time (scalar).
+
+    R_bc/p_bc/td are the nominal camera-IMU calibration (extrinsics
+    T_bc and time offset). Constant unless cfg.estimate_extrinsics /
+    estimate_td put their errors in the state.
     """
 
     R: jnp.ndarray
@@ -84,10 +88,14 @@ class FilterState:
     P: jnp.ndarray
     tracks: TrackTable
     t: jnp.ndarray
+    R_bc: jnp.ndarray
+    p_bc: jnp.ndarray
+    td: jnp.ndarray
 
     def tree_flatten(self):
         return (self.R, self.p, self.v, self.bg, self.ba, self.win_R,
-                self.win_p, self.win_valid, self.P, self.tracks, self.t), None
+                self.win_p, self.win_valid, self.P, self.tracks, self.t,
+                self.R_bc, self.p_bc, self.td), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -103,6 +111,12 @@ def init_state(cfg: FilterConfig, R0=None, p0=None, v0=None,
                t0: float = 0.0) -> FilterState:
     D = cfg.dim
     P = jnp.zeros((D, D), jnp.float32)
+    calib = []
+    if cfg.estimate_extrinsics:
+        calib.append(jnp.full(3, cfg.init_ext_att_std**2))
+        calib.append(jnp.full(3, cfg.init_ext_pos_std**2))
+    if cfg.estimate_td:
+        calib.append(jnp.full(1, cfg.init_td_std**2))
     diag = jnp.concatenate([
         jnp.full(3, cfg.init_att_std**2),
         jnp.full(3, cfg.init_pos_std**2),
@@ -110,6 +124,7 @@ def init_state(cfg: FilterConfig, R0=None, p0=None, v0=None,
         jnp.full(3, cfg.init_bg_std**2),
         jnp.full(3, cfg.init_ba_std**2),
         jnp.zeros(6 * cfg.window),
+        *calib,
     ])
     P = P + jnp.diag(diag.astype(jnp.float32))
     return FilterState(
@@ -125,4 +140,7 @@ def init_state(cfg: FilterConfig, R0=None, p0=None, v0=None,
         P=P,
         tracks=TrackTable.empty(cfg.max_tracks, cfg.window),
         t=jnp.asarray(t0, jnp.float32),
+        R_bc=jnp.asarray(cfg.cam_R_bc, jnp.float32),
+        p_bc=jnp.asarray(cfg.cam_p_bc, jnp.float32),
+        td=jnp.asarray(cfg.td0, jnp.float32),
     )

@@ -156,9 +156,19 @@ def apply_correction(cfg: FilterConfig, state: FilterState,
     bg = state.bg + dx[9:12]
     ba = state.ba + dx[12:15]
 
-    dwin = dx[15:].reshape(M, 6)
+    dwin = dx[15:15 + 6 * M].reshape(M, 6)
     win_R = jax.vmap(lambda d, Rm: mm(rodrigues(d), Rm))(dwin[:, :3],
                                                          state.win_R)
     win_p = state.win_p + dwin[:, 3:]
-    return state.replace(R=R, p=p, v=v, bg=bg, ba=ba, win_R=win_R,
-                         win_p=win_p)
+    state = state.replace(R=R, p=p, v=v, bg=bg, ba=ba, win_R=win_R,
+                          win_p=win_p)
+
+    # calibration tail (right-perturbation on R_bc; see _augment docstring)
+    if cfg.estimate_extrinsics:
+        c = cfg.ext_idx
+        state = state.replace(
+            R_bc=mm(state.R_bc, rodrigues(dx[c : c + 3])),
+            p_bc=state.p_bc + dx[c + 3 : c + 6])
+    if cfg.estimate_td:
+        state = state.replace(td=state.td + dx[cfg.td_idx])
+    return state

@@ -38,6 +38,10 @@ class SyntheticConfig:
     radius: float = 2.5
     height: float = 1.2
     angular_rate: float = 0.35  # rad/s of the orbit
+    chirp: float = 0.0          # rad/s^2: orbit rate grows linearly in t,
+                                # breaking the constant-rate orbit's
+                                # time-shift symmetry (needed to make the
+                                # camera-IMU time offset observable)
     fps: float = 30.0
     imu_rate: float = 200.0
     pixel_noise: float = 0.0
@@ -55,10 +59,15 @@ def _look_at(eye: np.ndarray, target: np.ndarray, up: np.ndarray) -> np.ndarray:
     return np.stack([x, y, z], axis=1)  # columns are camera axes in world
 
 
-def make_trajectory(cfg: SyntheticConfig):
-    """Returns (ts (N,), gwc (N,3,4) float64) camera-to-world poses."""
+def make_trajectory(cfg: SyntheticConfig, t_shift: float = 0.0):
+    """Returns (ts (N,), gwc (N,3,4) float64) camera-to-world poses.
+
+    t_shift samples the poses at ts + t_shift while keeping the returned
+    stamps at ts — i.e. a camera whose stamps lag its true capture time by
+    t_shift (camera-IMU time offset simulation)."""
     ts = np.arange(cfg.num_frames) / cfg.fps
-    th = cfg.angular_rate * ts
+    tt = ts + t_shift
+    th = cfg.angular_rate * tt + 0.5 * cfg.chirp * tt * tt
     eye = np.stack(
         [cfg.radius * np.cos(th), cfg.radius * np.sin(th),
          cfg.height + 0.1 * np.sin(2.3 * th)], axis=1)
@@ -145,7 +154,7 @@ def make_imu(cfg: SyntheticConfig,
     dt = 1.0 / (cfg.fps * spf)
     S = (cfg.num_frames - 1) * spf + 1
     ts = np.arange(S) * dt
-    th = cfg.angular_rate * ts
+    th = cfg.angular_rate * ts + 0.5 * cfg.chirp * ts * ts
 
     r, w = cfg.radius, cfg.angular_rate
     pos = np.stack([r * np.cos(th), r * np.sin(th),
@@ -186,10 +195,13 @@ def make_imu(cfg: SyntheticConfig,
             "v0": vel0, "samples_per_frame": spf}
 
 
-def make_dataset(cfg: SyntheticConfig) -> Dataset:
-    """Build the vlslam Dataset message with lifecycle-correct features."""
+def make_dataset(cfg: SyntheticConfig, t_shift: float = 0.0) -> Dataset:
+    """Build the vlslam Dataset message with lifecycle-correct features.
+
+    t_shift: observations/poses taken at ts + t_shift but stamped ts
+    (see make_trajectory) — the camera-IMU time-offset test fixture."""
     rng = np.random.default_rng(cfg.seed + 2)
-    ts, gwc = make_trajectory(cfg)
+    ts, gwc = make_trajectory(cfg, t_shift)
     X = make_landmarks(cfg)
     first_seen = np.full(cfg.num_landmarks, -1, np.int64)
 
