@@ -154,6 +154,67 @@ class TestOcclusion:
         assert err_o < 0.06, err_o   # was 0.078 lateral
 
 
+class TestShapeRetrieval:
+    def test_retrieves_correct_mesh_and_yaw(self):
+        """A detection with no shape_id: the mapper must pick the right CAD
+        model from the database and a yaw near truth, from edges alone."""
+        from tests.test_eval import cube_mesh
+
+        V, F = l_mesh()
+        Vo, Fo = cube_mesh(1.0)
+        Vo = Vo * np.array([0.2, 0.3, 0.2], np.float32)
+        mapper = SemanticMapper(INTR, {"lchair": (V, F), "box": (Vo, Fo)},
+                                depth_prior=2.0, retrieval_yaws=12)
+
+        yaw_true = np.pi / 3
+        true_T = np.eye(4)
+        true_T[:3, :3] = Rotation.from_euler("y", yaw_true).as_matrix()
+        true_T[:3, 3] = [0.0, 0.0, 2.0]
+        r = Renderer(INTR, capacity=96)
+        r.set_mesh(V, F)
+        edges = np.asarray(r.render_edge(
+            jnp.asarray(true_T[:3, :4].astype(np.float32))))
+
+        bb = BoundingBox(top_left_x=50, top_left_y=30, bottom_right_x=110,
+                         bottom_right_y=90)  # no shape_id
+        got = mapper.retrieve_shape(bb, edges)
+        assert got is not None
+        name, T_cm, score = got
+        assert name == "lchair", name
+        yaw_est = np.arctan2(T_cm[0, 2], T_cm[0, 0])
+        dyaw = abs((yaw_est - yaw_true + np.pi) % (2 * np.pi) - np.pi)
+        assert dyaw < np.pi / 6, dyaw  # within one 30-degree bin
+
+        # spawning through step() uses the retrieved shape
+        gwc0 = np.hstack([np.eye(3), np.zeros((3, 1))])
+        mapper.step(gwc0, edges, BoundingBoxList(bounding_boxes=[bb]))
+        assert len(mapper.tracks) == 1
+        assert next(iter(mapper.tracks.values())).model_name == "lchair"
+
+    def test_azimuth_prior_biases_choice(self):
+        """An azimuth distribution concentrated on the true bin must not
+        hurt (and the prior path must run)."""
+        V, F = l_mesh()
+        mapper = SemanticMapper(INTR, {"lchair": (V, F)}, depth_prior=2.0,
+                                retrieval_yaws=12, azimuth_prior_weight=2.0)
+        yaw_true = np.pi / 3
+        true_T = np.eye(4)
+        true_T[:3, :3] = Rotation.from_euler("y", yaw_true).as_matrix()
+        true_T[:3, 3] = [0.0, 0.0, 2.0]
+        r = Renderer(INTR, capacity=96)
+        r.set_mesh(V, F)
+        edges = np.asarray(r.render_edge(
+            jnp.asarray(true_T[:3, :4].astype(np.float32))))
+        prob = np.full(12, 1e-3, np.float32)
+        prob[int(yaw_true / (2 * np.pi) * 12)] = 1.0
+        bb = BoundingBox(top_left_x=50, top_left_y=30, bottom_right_x=110,
+                         bottom_right_y=90, azimuth_prob=prob)
+        name, T_cm, _ = mapper.retrieve_shape(bb, edges)
+        yaw_est = np.arctan2(T_cm[0, 2], T_cm[0, 0])
+        dyaw = abs((yaw_est - yaw_true + np.pi) % (2 * np.pi) - np.pi)
+        assert name == "lchair" and dyaw < np.pi / 6
+
+
 class TestMapper:
     def test_spawn_track_and_export(self, tmp_path):
         V, F = l_mesh()

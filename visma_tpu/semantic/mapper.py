@@ -36,13 +36,19 @@ class ObjectTrack:
 class SemanticMapper:
     def __init__(self, intr: Intrinsics, mesh_db: Dict[str, tuple],
                  depth_prior: float = 2.0, cem_iters: int = 5,
-                 cem_samples: int = 48):
-        """mesh_db: model_name -> (V, F)."""
+                 cem_samples: int = 48, retrieval_yaws: int = 12,
+                 azimuth_prior_weight: float = 1.0):
+        """mesh_db: model_name -> (V, F).
+
+        retrieval_yaws / azimuth_prior_weight control detection-driven
+        shape retrieval (see retrieve_shape)."""
         self.intr = intr
         self.mesh_db = mesh_db
         self.depth_prior = depth_prior
         self.cem_iters = cem_iters
         self.cem_samples = cem_samples
+        self.retrieval_yaws = retrieval_yaws
+        self.azimuth_prior_weight = azimuth_prior_weight
         self.tracks: Dict[int, ObjectTrack] = {}
         self._renderers: Dict[str, Renderer] = {}
         self._next_id = 0
@@ -56,10 +62,8 @@ class SemanticMapper:
             self._renderers[name] = r
         return self._renderers[name]
 
-    def _spawn(self, bbox, gwc: np.ndarray) -> Optional[ObjectTrack]:
-        name = bbox.shape_id or bbox.class_name
-        if name not in self.mesh_db:
-            return None
+    def _init_pose_cm(self, bbox) -> np.ndarray:
+        """Back-project the detection center at the depth prior."""
         cx = 0.5 * (bbox.top_left_x + bbox.bottom_right_x)
         cy = 0.5 * (bbox.top_left_y + bbox.bottom_right_y)
         z = self.depth_prior
@@ -67,6 +71,76 @@ class SemanticMapper:
                           (cy - self.intr.cy) / self.intr.fy * z, z])
         T_cm = np.eye(4)
         T_cm[:3, 3] = X_cam
+        return T_cm
+
+    def retrieve_shape(self, bbox, edge_map):
+        """Detection-driven CAD retrieval (the papers' detector->shape
+        step; the reference only ships its OUTPUT as BoundingBox.shape_id,
+        vlslam.proto azimuth/shape fields). For a detection with no usable
+        shape_id: score every candidate mesh (class-substring filtered)
+        over a yaw sweep at the back-projected detection pose in ONE
+        batched render per mesh, with the detection's azimuth distribution
+        as a -log prior when present. Returns (name, pose_cm (4,4), score)
+        or None if the database is empty."""
+        import jax.numpy as jnp
+
+        from visma_tpu.render.likelihood import (edge_distance_transform,
+                                                 symmetric_edge_score)
+
+        cls = (bbox.class_name or "").lower()
+        cands = [n for n in self.mesh_db if cls and cls in n.lower()] \
+            or list(self.mesh_db)
+        if not cands:
+            return None
+        T0 = self._init_pose_cm(bbox)
+        B = self.retrieval_yaws
+        yaws = np.arange(B) * (2 * np.pi / B)
+        # rotate about the model/camera Y axis (same convention as the
+        # CEM's yaw_only mode): right-multiply = about the object center
+        cs, sn = np.cos(yaws), np.sin(yaws)
+        Ry = np.zeros((B, 4, 4))
+        Ry[:, 0, 0] = cs
+        Ry[:, 0, 2] = sn
+        Ry[:, 2, 0] = -sn
+        Ry[:, 2, 2] = cs
+        Ry[:, 1, 1] = 1.0
+        Ry[:, 3, 3] = 1.0
+        hyps = np.einsum("ij,bjk->bik", T0, Ry)[:, :3, :4]
+
+        prior = np.zeros(B, np.float32)
+        ap = np.asarray(bbox.azimuth_prob, np.float32).ravel()
+        if ap.size > 0 and self.azimuth_prior_weight > 0:
+            p = ap / max(float(ap.sum()), 1e-6)
+            bins = np.minimum((yaws / (2 * np.pi) * ap.size).astype(int),
+                              ap.size - 1)
+            prior = -self.azimuth_prior_weight * np.log(p[bins] + 1e-3)
+
+        em = jnp.asarray(edge_map)
+        dt = edge_distance_transform(em)
+        best = None
+        for name in cands:
+            r = self._renderer(name)
+            edges = r.render_edge(jnp.asarray(hyps, jnp.float32))
+            scores = np.asarray(symmetric_edge_score(edges, dt, em)) + prior
+            i = int(np.argmin(scores))
+            if best is None or scores[i] < best[2]:
+                T = np.eye(4)
+                T[:3, :4] = hyps[i]
+                best = (name, T, float(scores[i]))
+        return best
+
+    def _spawn(self, bbox, gwc: np.ndarray,
+               edge_map=None) -> Optional[ObjectTrack]:
+        name = bbox.shape_id or bbox.class_name
+        if name in self.mesh_db:
+            T_cm = self._init_pose_cm(bbox)
+        elif edge_map is not None:
+            got = self.retrieve_shape(bbox, edge_map)
+            if got is None:
+                return None
+            name, T_cm, _ = got
+        else:
+            return None
         T_wm = np.eye(4)
         T_wm[:3, :4] = gwc @ T_cm
         tr = ObjectTrack(oid=self._next_id, model_name=name, pose_wm=T_wm)
@@ -86,7 +160,7 @@ class SemanticMapper:
         if bboxes is not None:
             for bb in bboxes.bounding_boxes:
                 if not self._covered(bb, gwc):
-                    self._spawn(bb, gwc)
+                    self._spawn(bb, gwc, edge_map)
 
         import jax.numpy as jnp
 
