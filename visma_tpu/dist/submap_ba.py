@@ -94,7 +94,7 @@ def split_into_chunks(prob: BaProblem, n_chunks: int, halo: int = 1):
         intr=jnp.broadcast_to(prob.intr, (n_chunks, 4)))
     info = {"pose_idx": pose_idx, "land_idx": land_idx,
             "land_valid": land_valid, "land_owner": land_owner,
-            "bounds": bounds, "halo": halo}
+            "land_votes": votes, "bounds": bounds, "halo": halo}
     return chunks, info
 
 
@@ -123,16 +123,26 @@ def _local_solve(chunk: BaProblem, iters: int, axis: str = None) -> BaProblem:
 
 
 def submap_ba_solve(prob: BaProblem, mesh: Mesh, iters: int = 10,
-                    polish_iters: int = 3) -> Tuple[BaProblem, dict]:
+                    polish_iters: int = 3, halo: int = 1,
+                    consensus: bool = True) -> Tuple[BaProblem, dict]:
     """Keyframe-sharded BA over the mesh. Returns (stitched problem, info).
 
     polish_iters: after stitching, run a few GLOBAL landmark-sharded
     iterations (visma_tpu.dist.sharded_ba) — submapping has solved the
     bulk of the nonlinearity chunk-locally in parallel; the polish removes
     the residual cross-chunk coupling the per-chunk gauges can't see.
+
+    halo: shared boundary frames per chunk pair; with halo > 1 the stitch
+    edge averages the relative transform over every shared frame (chordal
+    rotation mean), damping single-frame estimation noise.
+
+    consensus: landmarks duplicated across chunks are written back as the
+    observation-count-weighted average of the corrected per-chunk
+    estimates instead of owner-takes-all.
     """
     D = mesh.devices.size
-    chunks, info = split_into_chunks(prob, D)
+    chunks, info = split_into_chunks(prob, D, halo=halo)
+    info["consensus"] = consensus
 
     spec = BaProblem(R=P("d"), p=P("d"), X=P("d"), obs=P("d"), mask=P("d"),
                      intr=P("d"))
@@ -160,35 +170,49 @@ def _stitch(prob: BaProblem, sol: BaProblem, info) -> BaProblem:
     write corrected poses/landmarks back into the global problem."""
     from visma_tpu.ba.pose_graph import pose_graph_solve
 
+    from visma_tpu.geom.rotations import project_so3
+
     pose_idx = info["pose_idx"]
     bounds = info["bounds"]
+    halo = info["halo"]
+    K = np.asarray(prob.R).shape[0]
     D = pose_idx.shape[0]
     R = np.asarray(sol.R)        # (D,Kc,3,3)
     p = np.asarray(sol.p)
 
     # chunk-anchor graph: node d = correction T_d applied to chunk d.
-    # Boundary keyframe b = bounds[d+1] appears as the halo (last real)
-    # frame of chunk d and the first frame of chunk d+1. Edge measures the
-    # transform between the two estimates of that keyframe.
+    # Boundary keyframes b in [bounds[d+1], bounds[d+1]+halo) appear as
+    # the halo (trailing) frames of chunk d and the leading frames of
+    # chunk d+1. The edge measures the transform between the two chunk
+    # estimates, averaged over all shared frames (chordal mean rotation,
+    # arithmetic mean translation).
     ei, ej, Rm, pm = [], [], [], []
     for d in range(D - 1):
-        b = bounds[d + 1]
-        # position of keyframe b inside both chunks
-        i_left = int(np.nonzero(pose_idx[d] == b)[0][0])
-        i_right = int(np.nonzero(pose_idx[d + 1] == b)[0][0])
-        # T_left = (R,p) of b per chunk d; correction satisfies
-        # T_d * T_left == T_{d+1} * T_right  => T_d^-1 T_{d+1} = ...
-        Rl, pl = R[d, i_left], p[d, i_left]
-        Rr, pr = R[d + 1, i_right], p[d + 1, i_right]
-        # relative measurement between node frames: T_l T_r^-1
-        R_rel = Rl @ Rr.T
-        p_rel = pl - R_rel @ pr
+        R_acc = np.zeros((3, 3))
+        p_acc = np.zeros(3)
+        n = 0
+        for b in range(bounds[d + 1], min(bounds[d + 1] + halo, K)):
+            hit_l = np.nonzero(pose_idx[d] == b)[0]
+            hit_r = np.nonzero(pose_idx[d + 1] == b)[0]
+            if len(hit_l) == 0 or len(hit_r) == 0:
+                continue
+            # T_left = (R,p) of b per chunk d; correction satisfies
+            # T_d * T_left == T_{d+1} * T_right
+            Rl, pl = R[d, int(hit_l[0])], p[d, int(hit_l[0])]
+            Rr, pr = R[d + 1, int(hit_r[0])], p[d + 1, int(hit_r[0])]
+            # relative measurement between node frames: T_l T_r^-1
+            R_rel = Rl @ Rr.T
+            R_acc += R_rel
+            p_acc += pl - R_rel @ pr
+            n += 1
+        assert n > 0, "no shared boundary frame between chunks"
+        R_rel = np.asarray(project_so3(jnp.asarray(R_acc / n, jnp.float32)))
         ei.append(d)
         ej.append(d + 1)
         # edge: T_j = T_i * (T_rel); with residual log(Tm^-1 Ti^-1 Tj),
         # measurement Tm = Ti^-1 Tj = T_rel
         Rm.append(R_rel)
-        pm.append(p_rel)
+        pm.append(p_acc / n)
 
     if D > 1:
         R0 = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (D, 3, 3))
@@ -207,16 +231,32 @@ def _stitch(prob: BaProblem, sol: BaProblem, info) -> BaProblem:
     R_out = np.asarray(prob.R).copy()
     p_out = np.asarray(prob.p).copy()
     X_out = np.asarray(prob.X).copy()
+    L = X_out.shape[0]
+    X_acc = np.zeros((L, 3))
+    w_acc = np.zeros(L)
     for d in range(D):
         lo, hi = bounds[d], bounds[d + 1]
         for local, g in enumerate(pose_idx[d]):
             if lo <= g < hi:
                 R_out[g] = Rc[d] @ R[d, local]
                 p_out[g] = Rc[d] @ p[d, local] + pc[d]
-        own = info["land_owner"][d]
-        li = info["land_idx"][d][own]
-        Xd = np.asarray(sol.X)[d][own]
-        X_out[li] = Xd @ Rc[d].T + pc[d]
+        if info.get("consensus", False):
+            # observation-count-weighted average of every chunk's
+            # corrected estimate of each duplicated landmark
+            valid = info["land_valid"][d]
+            li = info["land_idx"][d][valid]
+            Xd = np.asarray(sol.X)[d][valid] @ Rc[d].T + pc[d]
+            w = info["land_votes"][li, d].astype(np.float64)
+            np.add.at(X_acc, li, Xd * w[:, None])
+            np.add.at(w_acc, li, w)
+        else:
+            own = info["land_owner"][d]
+            li = info["land_idx"][d][own]
+            Xd = np.asarray(sol.X)[d][own]
+            X_out[li] = Xd @ Rc[d].T + pc[d]
+    if info.get("consensus", False):
+        upd = w_acc > 0
+        X_out[upd] = X_acc[upd] / w_acc[upd, None]
 
     return BaProblem(R=jnp.asarray(R_out), p=jnp.asarray(p_out),
                      X=jnp.asarray(X_out), obs=prob.obs, mask=prob.mask,
