@@ -34,7 +34,7 @@ def main():
 
     from visma_tpu.ba.problem import synthetic_ba_problem
     from visma_tpu.dist import make_mesh
-    from visma_tpu.dist.sharded_ba import _shard_problem, _sharded_step
+    from visma_tpu.dist.sharded_ba import _jitted_step, _shard_problem
     from visma_tpu.utils.logging import MetricsWriter
 
     ndev = jax.device_count()
@@ -49,7 +49,7 @@ def main():
             noise_px=0.5, pose_noise=0.02)
         mesh = make_mesh(n)
         padded, L = _shard_problem(prob, mesh)
-        step = jax.jit(_sharded_step(mesh))
+        step = _jitted_step(mesh)  # cached executable (no per-call re-jit)
         import jax.numpy as jnp
 
         lam = jnp.asarray(1e-3, jnp.float32)

@@ -167,32 +167,33 @@ def ba_step(prob: BaProblem, damping: jnp.ndarray,
         return new, total_cost(new)
 
 
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _ba_run(prob0: BaProblem, damping: jnp.ndarray, iters: int):
+    anchor = jnp.linalg.norm(prob0.p[-1] - prob0.p[0])
+
+    def body(carry, _):
+        cur, lam, cost = carry
+        cand, cand_cost = ba_step(cur, lam, anchor)
+        better = cand_cost < cost
+        nxt = jax.tree.map(
+            lambda a, b: jnp.where(better, a, b), cand, cur)
+        lam_new = jnp.where(better, jnp.maximum(lam * 0.5, 1e-6),
+                            jnp.minimum(lam * 4.0, 1e2))
+        c_new = jnp.where(better, cand_cost, cost)
+        return (nxt, lam_new, c_new), c_new
+
+    c0 = total_cost(prob0)
+    (sol, _, _), hist = jax.lax.scan(
+        body, (prob0, damping, c0), None, length=iters)
+    return sol, hist
+
+
 def ba_solve(prob: BaProblem, iters: int = 10, damping: float = 1e-3
              ) -> Tuple[BaProblem, jnp.ndarray]:
     """LM-flavored loop: accept steps that reduce cost, else raise damping.
 
-    Returns (solution, cost history (iters,)).
-    """
-
-    @jax.jit
-    def run(prob0):
-        anchor = jnp.linalg.norm(prob0.p[-1] - prob0.p[0])
-
-        def body(carry, _):
-            cur, lam, cost = carry
-            cand, cand_cost = ba_step(cur, lam, anchor)
-            better = cand_cost < cost
-            nxt = jax.tree.map(
-                lambda a, b: jnp.where(better, a, b), cand, cur)
-            lam_new = jnp.where(better, jnp.maximum(lam * 0.5, 1e-6),
-                                jnp.minimum(lam * 4.0, 1e2))
-            c_new = jnp.where(better, cand_cost, cost)
-            return (nxt, lam_new, c_new), c_new
-
-        c0 = total_cost(prob0)
-        (sol, _, _), hist = jax.lax.scan(
-            body, (prob0, jnp.asarray(damping, jnp.float32), c0), None,
-            length=iters)
-        return sol, hist
-
-    return run(prob)
+    Returns (solution, cost history (iters,)). The jitted loop is a
+    module-level function so repeated solves reuse the live executable
+    (a per-call jit closure would redo persistent-cache deserialization
+    every call — the Msckf.run lesson)."""
+    return _ba_run(prob, jnp.asarray(damping, jnp.float32), iters)

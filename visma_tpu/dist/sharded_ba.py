@@ -89,24 +89,20 @@ def _sharded_step(mesh: Mesh):
     return step
 
 
-def sharded_ba_step(prob: BaProblem, mesh: Mesh, damping: float = 1e-3):
-    """One distributed GN step. Returns (problem, cost)."""
-    padded, L = _shard_problem(prob, mesh)
-    step = jax.jit(_sharded_step(mesh))
-    new, cost = step(padded, jnp.asarray(damping, jnp.float32))
-    return BaProblem(R=new.R, p=new.p, X=new.X[:L], obs=new.obs[:L],
-                     mask=new.mask[:L], intr=new.intr), cost
+# jitted executables cached by mesh/iters so repeated solves reuse the
+# live executable instead of re-deserializing from the persistent cache
+# every call (the Msckf.run lesson; jax Mesh is hashable)
+@functools.lru_cache(maxsize=16)
+def _jitted_step(mesh: Mesh):
+    return jax.jit(_sharded_step(mesh))
 
 
-def sharded_ba_solve(prob: BaProblem, mesh: Mesh, iters: int = 10,
-                     damping: float = 1e-3):
-    """Distributed LM loop (same acceptance logic as ba_solve), jitted as
-    one computation over the mesh. Returns (solution, cost history)."""
-    padded, L = _shard_problem(prob, mesh)
+@functools.lru_cache(maxsize=16)
+def _jitted_solver(mesh: Mesh, iters: int):
     step = _sharded_step(mesh)
 
     @jax.jit
-    def run(p0):
+    def run(p0, lam0):
         def body(carry, _):
             cur, lam, cost = carry
             cand, cand_cost = step(cur, lam)
@@ -119,10 +115,26 @@ def sharded_ba_solve(prob: BaProblem, mesh: Mesh, iters: int = 10,
         # initial cost via one replicated evaluation
         c0 = total_cost(p0)
         (sol, _, c_fin), hist = jax.lax.scan(
-            body, (p0, jnp.asarray(damping, jnp.float32), c0), None,
-            length=iters)
+            body, (p0, lam0, c0), None, length=iters)
         return sol, hist
 
-    sol, hist = run(padded)
+    return run
+
+
+def sharded_ba_step(prob: BaProblem, mesh: Mesh, damping: float = 1e-3):
+    """One distributed GN step. Returns (problem, cost)."""
+    padded, L = _shard_problem(prob, mesh)
+    new, cost = _jitted_step(mesh)(padded, jnp.asarray(damping, jnp.float32))
+    return BaProblem(R=new.R, p=new.p, X=new.X[:L], obs=new.obs[:L],
+                     mask=new.mask[:L], intr=new.intr), cost
+
+
+def sharded_ba_solve(prob: BaProblem, mesh: Mesh, iters: int = 10,
+                     damping: float = 1e-3):
+    """Distributed LM loop (same acceptance logic as ba_solve), jitted as
+    one computation over the mesh. Returns (solution, cost history)."""
+    padded, L = _shard_problem(prob, mesh)
+    sol, hist = _jitted_solver(mesh, iters)(
+        padded, jnp.asarray(damping, jnp.float32))
     return BaProblem(R=sol.R, p=sol.p, X=sol.X[:L], obs=sol.obs[:L],
                      mask=sol.mask[:L], intr=sol.intr), hist

@@ -20,6 +20,8 @@ sharded) can polish if needed.
 """
 from __future__ import annotations
 
+import functools
+
 from typing import Tuple
 
 import jax
@@ -122,6 +124,24 @@ def _local_solve(chunk: BaProblem, iters: int, axis: str = None) -> BaProblem:
     return sol
 
 
+@functools.lru_cache(maxsize=16)
+def _jitted_local_solver(mesh: Mesh, iters: int):
+    """Per-(mesh, iters) cached executable — a jit closure rebuilt per
+    call would redo persistent-cache deserialization on every solve."""
+    spec = BaProblem(R=P("d"), p=P("d"), X=P("d"), obs=P("d"), mask=P("d"),
+                     intr=P("d"))
+
+    @jax.jit
+    @jax.shard_map(mesh=mesh, in_specs=(spec,), out_specs=spec)
+    def solve_all(ch: BaProblem) -> BaProblem:
+        with jax.default_matmul_precision("highest"):
+            squeezed = jax.tree.map(lambda x: x[0], ch)
+            sol = _local_solve(squeezed, iters, axis="d")
+            return jax.tree.map(lambda x: x[None], sol)
+
+    return solve_all
+
+
 def submap_ba_solve(prob: BaProblem, mesh: Mesh, iters: int = 10,
                     polish_iters: int = 3, halo: int = 1,
                     consensus: bool = True) -> Tuple[BaProblem, dict]:
@@ -144,19 +164,8 @@ def submap_ba_solve(prob: BaProblem, mesh: Mesh, iters: int = 10,
     chunks, info = split_into_chunks(prob, D, halo=halo)
     info["consensus"] = consensus
 
-    spec = BaProblem(R=P("d"), p=P("d"), X=P("d"), obs=P("d"), mask=P("d"),
-                     intr=P("d"))
-
-    @jax.jit
-    @jax.shard_map(mesh=mesh, in_specs=(spec,), out_specs=spec)
-    def solve_all(ch: BaProblem) -> BaProblem:
-        with jax.default_matmul_precision("highest"):
-            squeezed = jax.tree.map(lambda x: x[0], ch)
-            sol = _local_solve(squeezed, iters, axis="d")
-            return jax.tree.map(lambda x: x[None], sol)
-
     sharded = jax.device_put(chunks, NamedSharding(mesh, P("d")))
-    sol = solve_all(sharded)
+    sol = _jitted_local_solver(mesh, iters)(sharded)
     stitched = _stitch(prob, sol, info)
     if polish_iters > 0:
         from visma_tpu.dist.sharded_ba import sharded_ba_solve

@@ -171,6 +171,11 @@ class Msckf:
     def __init__(self, cfg: FilterConfig):
         self.cfg = cfg
         self._step = jax.jit(functools.partial(_frame_step, cfg))
+        self._run_jit = None  # built lazily in run(); MUST be cached on
+        # the instance: a jit closure rebuilt per call is a fresh cache
+        # key, so every rep pays persistent-cache executable
+        # deserialization (~2.5 s for the 240-frame scan — measured; the
+        # in-memory executable replays in ~0.16 s)
 
     def init(self, **kw) -> FilterState:
         return init_state(self.cfg, **kw)
@@ -188,27 +193,29 @@ class Msckf:
         Returns (final_state, outputs) with per-frame pose estimates:
         {R (N,3,3), p (N,3), feat_status (N,K), feat_ids (N,K)}.
         unroll: lax.scan unroll factor. Measured on v5e: unroll=1 is
-        fastest (3.4 ms/frame); 4/8 are 2-4x slower (VMEM pressure from
-        the duplicated QR/cho bodies). Run-to-run the shared pool adds up
-        to 3x session-level variance — compare within a session only.
+        fastest (0.68 ms/frame live-executable); 4/8 are slower (VMEM
+        pressure from the duplicated QR/cho bodies).
         """
         cfg = self.cfg
 
-        def scan_fn(s, frame):
-            s = _frame_step(cfg, s, frame)
-            out = {
-                "R": s.R, "p": s.p, "v": s.v,
-                "feat_status": s.tracks.status,
-                "feat_ids": s.tracks.ids,
-                "feat_xw": s.tracks.xw,
-            }
-            return s, out
+        if self._run_jit is None:
+            def scan_fn(s, frame):
+                s = _frame_step(cfg, s, frame)
+                out = {
+                    "R": s.R, "p": s.p, "v": s.v,
+                    "feat_status": s.tracks.status,
+                    "feat_ids": s.tracks.ids,
+                    "feat_xw": s.tracks.xw,
+                }
+                return s, out
 
-        @functools.partial(jax.jit, static_argnames=("u",))
-        def run_jit(state, frames, u):
-            return jax.lax.scan(scan_fn, state, frames, unroll=u)
+            @functools.partial(jax.jit, static_argnames=("u",))
+            def run_jit(state, frames, u):
+                return jax.lax.scan(scan_fn, state, frames, unroll=u)
 
-        return run_jit(state, frames, unroll)
+            self._run_jit = run_jit
+
+        return self._run_jit(state, frames, unroll)
 
 
 def _frame_step(cfg: FilterConfig, state: FilterState,
