@@ -47,6 +47,38 @@ class TestImuPropagation:
         np.testing.assert_allclose(np.asarray(out.p), np.asarray(s.p))
         np.testing.assert_allclose(np.asarray(out.R), np.asarray(s.R))
 
+    def test_matches_per_sample_reference(self):
+        """The hoisted-conjugation propagate must match the per-sample
+        reference implementation (_step) on both state and covariance."""
+        from visma_tpu.filter.imu import _step
+
+        cfg = FilterConfig(window=6)
+        rng = np.random.default_rng(8)
+        s = init_state(cfg, R0=np.eye(3), p0=rng.normal(size=3),
+                       v0=rng.normal(size=3))
+        # populate off-diagonal covariance so the clone coupling matters
+        A = rng.normal(size=(cfg.dim, cfg.dim)).astype(np.float32) * 0.01
+        P = np.asarray(s.P) + A @ A.T
+        s = s.replace(P=jnp.asarray(P))
+        S = 8
+        gyro = jnp.asarray(rng.normal(size=(S, 3)) * 0.3, jnp.float32)
+        accel = jnp.asarray(rng.normal(size=(S, 3)) * 2.0 +
+                            np.array([0, 0, 9.81]), jnp.float32)
+        dts = jnp.asarray(np.r_[np.full(6, 0.005), 0.0, 0.0], jnp.float32)
+
+        fast = propagate(cfg, s, gyro, accel, dts)
+        ref = s
+        for k in range(S):
+            ref = _step(cfg, ref, gyro[k], accel[k], dts[k])
+        np.testing.assert_allclose(np.asarray(fast.R), np.asarray(ref.R),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(fast.p), np.asarray(ref.p),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(fast.v), np.asarray(ref.v),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(fast.P), np.asarray(ref.P),
+                                   atol=1e-6, rtol=1e-4)
+
     def test_dead_reckoning_tracks_truth(self):
         """Pure IMU integration follows the synthetic trajectory briefly."""
         cfg = FilterConfig()
@@ -135,6 +167,33 @@ class TestEndToEnd:
         P = np.asarray(final.P)
         assert np.isfinite(P).all()
         np.testing.assert_allclose(P, P.T, atol=1e-6)
+
+    def test_run_batched_matches_single(self):
+        """Serving mode: B identical streams produce the single-stream
+        trajectory, batched."""
+        syn = SyntheticConfig(num_frames=30, num_landmarks=100,
+                              pixel_noise=0.5, seed=3)
+        cfg = FilterConfig(window=6, max_tracks=64, max_updates=16,
+                           fx=syn.fx, fy=syn.fy, cx=syn.cx, cy=syn.cy,
+                           pixel_noise=0.5)
+        ds = make_dataset(syn)
+        imu = make_imu(syn)
+        frames = {k: jnp.asarray(v)
+                  for k, v in pack_frames(cfg, ds, imu, max_feats=64).items()
+                  if k != "ts"}
+        _, gwc = make_trajectory(syn)
+        kf = Msckf(cfg)
+        s0 = kf.init(R0=gwc[0, :, :3], p0=gwc[0, :, 3], v0=imu["v0"])
+        _, single = kf.run(s0, frames)
+
+        B = 3
+        bs = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), s0)
+        bf = {k: jnp.broadcast_to(v, (B,) + v.shape) for k, v in frames.items()}
+        final, outs = kf.run_batched(bs, bf)
+        assert outs["p"].shape == (B, syn.num_frames, 3)
+        for b in range(B):
+            np.testing.assert_allclose(np.asarray(outs["p"][b]),
+                                       np.asarray(single["p"]), atol=1e-5)
 
     def test_vision_only_recovery(self):
         """IMU-less fallback (cfg.use_imu=False): the constant-velocity

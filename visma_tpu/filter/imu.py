@@ -81,11 +81,54 @@ def propagate(cfg: FilterConfig, state: FilterState, gyro: jnp.ndarray,
     """Scan over a fixed-size IMU batch; masked samples carry dt == 0.
 
     gyro/accel: (S, 3); dts: (S,) with 0 for padding slots.
-    """
 
-    def body(s, inp):
-        g, a, dt = inp
-        return _step(cfg, s, g, a, dt), None
+    The error-state transition touches only the 15 IMU rows (clones and
+    calibration tail are identity with zero noise), so the scan composes a
+    15x15 (Phi, Q) pair and the full (D, D) covariance is conjugated ONCE
+    after the loop:  P' = [[Phi P11 Phi^T + Q, Phi P12], [P21 Phi^T, P22]].
+    2 big matmuls total instead of 2 per IMU sample (~2x propagate cost on
+    v5e; numerics identical up to f32 association order — _step is kept
+    as the single-sample reference implementation and cross-checked in
+    tests)."""
+    D = cfg.dim
+    g_w = jnp.array([0.0, 0.0, -cfg.gravity], jnp.float32)
+    I3 = jnp.eye(3, dtype=jnp.float32)
 
-    out, _ = jax.lax.scan(body, state, (gyro, accel, dts))
-    return out
+    def body(carry, inp):
+        R, p, v, t, Phi, Q15 = carry
+        gm, am, dt = inp
+        w = gm - state.bg
+        a = am - state.ba
+        a_w = R @ a + g_w
+
+        R_new = mm(R, rodrigues(w * dt))
+        v_new = v + a_w * dt
+        p_new = p + v * dt + 0.5 * a_w * dt * dt
+
+        F = jnp.eye(15, dtype=jnp.float32)
+        F = F.at[3:6, 6:9].set(I3 * dt)
+        F = F.at[6:9, 0:3].set(-hat(R @ a) * dt)
+        F = F.at[6:9, 12:15].set(-R * dt)
+        F = F.at[0:3, 9:12].set(-R * dt)
+
+        Qk = jnp.zeros((15, 15), jnp.float32)
+        Qk = Qk.at[0:3, 0:3].set(I3 * cfg.gyro_noise**2 * dt)
+        Qk = Qk.at[6:9, 6:9].set(I3 * cfg.accel_noise**2 * dt)
+        Qk = Qk.at[9:12, 9:12].set(I3 * cfg.gyro_bias_walk**2 * dt)
+        Qk = Qk.at[12:15, 12:15].set(I3 * cfg.accel_bias_walk**2 * dt)
+
+        Phi_new = mm(F, Phi)
+        Q_new = mm(mm(F, Q15), F.T) + Qk
+        return (R_new, p_new, v_new, t + dt, Phi_new, Q_new), None
+
+    carry0 = (state.R, state.p, state.v, state.t,
+              jnp.eye(15, dtype=jnp.float32), jnp.zeros((15, 15), jnp.float32))
+    (R, p, v, t, Phi, Q15), _ = jax.lax.scan(
+        body, carry0, (gyro, accel, dts), unroll=True)
+
+    P = state.P
+    Pn = P.at[:15, :].set(mm(Phi, P[:15, :]))
+    Pn = Pn.at[:, :15].set(mm(Pn[:, :15], Phi.T))
+    Pn = Pn.at[:15, :15].add(Q15)
+    Pn = 0.5 * (Pn + Pn.T)
+    return state.replace(R=R, p=p, v=v, P=Pn, t=t)

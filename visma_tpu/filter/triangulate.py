@@ -79,7 +79,10 @@ def triangulate(cfg: FilterConfig, obs, mask, win_R, win_p, gn_iters: int = 3):
         dX = jnp.clip(dX, -100.0, 100.0)  # f32 overflow guard
         return X - dX, None
 
-    X, _ = jax.lax.scan(gn_step, X0, None, length=gn_iters)
+    # static unroll: 3 tiny GN bodies inline cheaper than scan overhead
+    X = X0
+    for _ in range(gn_iters):
+        X, _ = gn_step(X, None)
 
     r, Xc = _reproj_residuals(cfg, X, obs, mask, win_R, win_p)
     n = jnp.maximum(jnp.sum(mask), 1)
