@@ -151,7 +151,17 @@ class SemanticMapper:
     def step(self, gwc: np.ndarray, edge_map: np.ndarray,
              bboxes=None) -> None:
         """gwc (3,4) camera->world; edge_map (H,W) in [0,1]; bboxes
-        optional BoundingBoxList for spawning."""
+        optional BoundingBoxList for spawning.
+
+        Edge maps may be stored at a different resolution than the camera
+        (EdgeMap carries its own rows/cols, vlslam.proto:49-53); resample
+        to the render resolution so scores compare pixels to pixels."""
+        edge_map = np.asarray(edge_map, np.float32)
+        H, W = self.intr.rows, self.intr.cols
+        if edge_map.shape != (H, W):
+            ri = (np.arange(H) * edge_map.shape[0] // H).astype(np.int64)
+            ci = (np.arange(W) * edge_map.shape[1] // W).astype(np.int64)
+            edge_map = edge_map[ri][:, ci]
         gwc = np.asarray(gwc, np.float64)
         G = np.eye(4)
         G[:3, :4] = gwc
