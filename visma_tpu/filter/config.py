@@ -77,11 +77,30 @@ class FilterConfig:
     min_depth: float = 0.05
     max_depth: float = 50.0
 
+    # hybrid MSCKF + SLAM landmarks. num_slam > 0 appends that many 3-dof
+    # landmark error states after the calibration tail; long-lived tracks
+    # promote into empty slots via delayed initialization (the left-range
+    # rows of the feature Jacobian QR that the MSCKF nullspace update
+    # discards), then update the filter every frame from a single fresh
+    # observation — this is the proto's INSTATE lifecycle state
+    # (vlslam.proto:11-19) made literal. schmidt=True runs them as
+    # Schmidt/consider states: zero gain on the landmark block, so
+    # landmark estimates and their covariance freeze while their
+    # cross-correlations still damp the pose update (O(1) accuracy/cost
+    # trade from the Schmidt-EKF VI-SLAM literature; see PAPERS.md).
+    num_slam: int = 0
+    schmidt: bool = False
+    max_promote: int = 2         # landmark promotions per frame
+    slam_max_missed: int = 10    # frames unseen before a slot is freed
+    slam_chi2_scale: float = 8.0  # per-dof gate on landmark residuals
+    slam_min_r1: float = 1e-3    # min |diag R1| to accept delayed init
+
     @property
     def dim(self) -> int:
-        """Error-state dimension: 15 IMU + 6 per clone + calibration."""
+        """Error-state dimension: 15 IMU + 6 per clone + calibration
+        + 3 per SLAM landmark slot."""
         return (15 + 6 * self.window + 6 * self.estimate_extrinsics
-                + 1 * self.estimate_td)
+                + 1 * self.estimate_td + 3 * self.num_slam)
 
     @property
     def ext_idx(self) -> int:
@@ -93,3 +112,9 @@ class FilterConfig:
     def td_idx(self) -> int:
         """Column of the time-offset error (valid iff estimate_td)."""
         return 15 + 6 * self.window + 6 * self.estimate_extrinsics
+
+    @property
+    def slam_idx(self) -> int:
+        """First column of the SLAM landmark block (valid iff num_slam)."""
+        return (15 + 6 * self.window + 6 * self.estimate_extrinsics
+                + 1 * self.estimate_td)

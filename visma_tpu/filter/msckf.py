@@ -208,6 +208,9 @@ class Msckf:
                     "feat_ids": s.tracks.ids,
                     "feat_xw": s.tracks.xw,
                 }
+                if cfg.num_slam:
+                    out["lm_ids"] = s.lm_ids
+                    out["lm_xw"] = s.lm_xw
                 return s, out
 
             @functools.partial(jax.jit, static_argnames=("u",))
@@ -275,9 +278,20 @@ def _frame_step_inner(cfg: FilterConfig, state: FilterState,
         omega = None
     # 2. clone the camera pose into the window
     state = _augment(cfg, state, omega)
+    # 2b. SLAM landmark update from this frame's observations of in-state
+    # landmarks (newest clone is the measuring camera); in-state ids are
+    # then hidden from the track table so their observations are never
+    # consumed twice.
+    valid_tab = frame["valid"]
+    if cfg.num_slam:
+        from visma_tpu.filter.slam import in_state, slam_update
+
+        state = slam_update(cfg, state, frame["ids"], frame["xp"],
+                            frame["valid"])
+        valid_tab = frame["valid"] & ~in_state(state.lm_ids, frame["ids"])
     # 3. ingest feature observations
     tracks, lost = _ingest(cfg, state.tracks, frame["ids"], frame["xp"],
-                           frame["valid"])
+                           valid_tab)
     state = state.replace(tracks=tracks)
     # 4. MSCKF update on mature tracks
     sel, sel_valid = _select_for_update(cfg, tracks, lost)
@@ -298,6 +312,26 @@ def _frame_step_inner(cfg: FilterConfig, state: FilterState,
     keep = used & still_seen
     drop = used & ~still_seen
 
+    # promote the best still-tracked consumed features into SLAM landmark
+    # slots (delayed init uses the Q1 rows the nullspace update discarded;
+    # see filter/slam.py). Promoted features leave the track table — their
+    # future observations feed slam_update directly.
+    if cfg.num_slam and cfg.max_promote:
+        from visma_tpu.filter.slam import slam_promote
+
+        sel_mask_v = sel_mask & state.win_valid[None, :]
+        nobs_sel = jnp.sum(sel_mask_v, axis=1)
+        score = keep.astype(jnp.int32) * (1 + nobs_sel)
+        topv, topi = jax.lax.top_k(score, cfg.max_promote)
+        state, prom_done = slam_promote(
+            cfg, state, X[topi], sel_obs[topi], sel_mask_v[topi],
+            tracks.ids[sel][topi], topv > 0)
+        prom_sel = jnp.zeros(keep.shape[0], bool).at[topi].set(prom_done)
+        keep = keep & ~prom_sel
+        drop = drop | prom_sel
+    else:
+        prom_sel = jnp.zeros(keep.shape[0], bool)
+
     newest_only = jnp.zeros_like(sel_mask_now).at[:, M - 1].set(True)
     new_sel_mask = jnp.where(
         keep[:, None], sel_mask_now & newest_only,
@@ -306,9 +340,10 @@ def _frame_step_inner(cfg: FilterConfig, state: FilterState,
     freed_ids = state.tracks.ids.at[sel].set(
         jnp.where(drop, -1, state.tracks.ids[sel]))
     freed_status = state.tracks.status.at[sel].set(
-        jnp.where(drop, int(FeatureStatus.GOODDROP),
-                  jnp.where(keep, int(FeatureStatus.INITIALIZING),
-                            state.tracks.status[sel])))
+        jnp.where(prom_sel, int(FeatureStatus.INSTATE),
+                  jnp.where(drop, int(FeatureStatus.GOODDROP),
+                            jnp.where(keep, int(FeatureStatus.INITIALIZING),
+                                      state.tracks.status[sel]))))
     freed_mask = state.tracks.mask.at[sel].set(new_sel_mask)
     tracks = TrackTable(ids=freed_ids, status=freed_status,
                         obs=state.tracks.obs, mask=freed_mask, xw=xw)

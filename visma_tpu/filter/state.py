@@ -75,6 +75,11 @@ class FilterState:
     R_bc/p_bc/td are the nominal camera-IMU calibration (extrinsics
     T_bc and time offset). Constant unless cfg.estimate_extrinsics /
     estimate_td put their errors in the state.
+
+    lm_ids (L,) int32 / lm_xw (L,3) / lm_missed (L,) int32 are the SLAM
+    landmark slots (cfg.num_slam; L may be 0): feature id (-1 = empty),
+    world-point estimate, and consecutive-frames-unseen counter. Their
+    error states live in P at cfg.slam_idx.
     """
 
     R: jnp.ndarray
@@ -91,11 +96,15 @@ class FilterState:
     R_bc: jnp.ndarray
     p_bc: jnp.ndarray
     td: jnp.ndarray
+    lm_ids: jnp.ndarray
+    lm_xw: jnp.ndarray
+    lm_missed: jnp.ndarray
 
     def tree_flatten(self):
         return (self.R, self.p, self.v, self.bg, self.ba, self.win_R,
                 self.win_p, self.win_valid, self.P, self.tracks, self.t,
-                self.R_bc, self.p_bc, self.td), None
+                self.R_bc, self.p_bc, self.td, self.lm_ids, self.lm_xw,
+                self.lm_missed), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -125,6 +134,7 @@ def init_state(cfg: FilterConfig, R0=None, p0=None, v0=None,
         jnp.full(3, cfg.init_ba_std**2),
         jnp.zeros(6 * cfg.window),
         *calib,
+        jnp.zeros(3 * cfg.num_slam),   # empty landmark slots carry no cov
     ])
     P = P + jnp.diag(diag.astype(jnp.float32))
     return FilterState(
@@ -143,4 +153,7 @@ def init_state(cfg: FilterConfig, R0=None, p0=None, v0=None,
         R_bc=jnp.asarray(cfg.cam_R_bc, jnp.float32),
         p_bc=jnp.asarray(cfg.cam_p_bc, jnp.float32),
         td=jnp.asarray(cfg.td0, jnp.float32),
+        lm_ids=jnp.full((cfg.num_slam,), -1, jnp.int32),
+        lm_xw=jnp.zeros((cfg.num_slam, 3), jnp.float32),
+        lm_missed=jnp.zeros((cfg.num_slam,), jnp.int32),
     )

@@ -129,6 +129,11 @@ def msckf_update(cfg: FilterConfig, state: FilterState,
     cho = jax.scipy.linalg.cho_factor(0.5 * (S + S.T))
     PHt = mm(P, Rc.T)
     K = jax.scipy.linalg.cho_solve(cho, PHt.T).T         # (D, D)
+    if cfg.num_slam and cfg.schmidt:
+        # Schmidt/consider landmarks: zero gain on the landmark block in
+        # EVERY update, not just the landmark update (filter/slam.py) —
+        # Joseph form below stays exact for any gain.
+        K = K.at[cfg.slam_idx:].set(0.0)
     dx = K @ rc
 
     IKH = jnp.eye(D, dtype=P.dtype) - mm(K, Rc)
@@ -171,4 +176,8 @@ def apply_correction(cfg: FilterConfig, state: FilterState,
             p_bc=state.p_bc + dx[c + 3 : c + 6])
     if cfg.estimate_td:
         state = state.replace(td=state.td + dx[cfg.td_idx])
+    if cfg.num_slam:
+        s = cfg.slam_idx
+        state = state.replace(
+            lm_xw=state.lm_xw + dx[s : s + 3 * cfg.num_slam].reshape(-1, 3))
     return state
