@@ -63,6 +63,25 @@ def _huber_weights(r: jnp.ndarray, delta: float):
     return jnp.where(nrm > 5.0 * delta, 0.0, w)
 
 
+def build_blocks(prob: BaProblem, damping: float, huber_delta: float = 5.0):
+    """Per-shard Schur building blocks (everything the distributed solvers
+    need locally): Hpp (K,6,6) per-pose Hessian partial, bp (K,6),
+    Hll_inv (L,3,3), Hpl (L,K,6,3), bl (L,3). Sums over the landmark axis
+    are PARTIAL on a landmark shard — psum them over the mesh."""
+    r, Jp, Jl = _residual_jacobians(prob)
+    w = _huber_weights(r, huber_delta) * prob.mask          # (L,K)
+
+    Jp_w = Jp * w[..., None, None]
+    Hpp = jnp.einsum("lkai,lkaj->kij", Jp_w, Jp)
+    bp = jnp.einsum("lkai,lka->ki", Jp_w, r)
+    Hll = jnp.einsum("lkai,lkaj->lij", Jl * w[..., None, None], Jl)
+    Hll = Hll + (damping + 1e-6) * jnp.eye(3)[None]
+    bl = jnp.einsum("lkai,lka->li", Jl * w[..., None, None], r)
+    Hpl = jnp.einsum("lkai,lkaj->lkij", Jp_w, Jl)           # (L,K,6,3)
+    Hll_inv = jnp.linalg.inv(Hll)                           # (L,3,3)
+    return Hpp, bp, Hll_inv, Hpl, bl
+
+
 def build_reduced_system(prob: BaProblem, damping: float,
                          huber_delta: float = 5.0,
                          scale_anchor: jnp.ndarray = None,
@@ -75,20 +94,7 @@ def build_reduced_system(prob: BaProblem, damping: float,
     fixed pose 0; without this prior the solver random-walks along that
     null direction)."""
     L, K = prob.mask.shape
-    r, Jp, Jl = _residual_jacobians(prob)
-    w = _huber_weights(r, huber_delta) * prob.mask          # (L,K)
-
-    Jp_w = Jp * w[..., None, None]
-    # per-pose blocks: Hpp (K,6,6), bp (K,6)
-    Hpp = jnp.einsum("lkai,lkaj->kij", Jp_w, Jp)
-    bp = jnp.einsum("lkai,lka->ki", Jp_w, r)
-    # landmark blocks
-    Hll = jnp.einsum("lkai,lkaj->lij", Jl * w[..., None, None], Jl)
-    Hll = Hll + (damping + 1e-6) * jnp.eye(3)[None]
-    bl = jnp.einsum("lkai,lka->li", Jl * w[..., None, None], r)
-    Hpl = jnp.einsum("lkai,lkaj->lkij", Jp_w, Jl)           # (L,K,6,3)
-
-    Hll_inv = jnp.linalg.inv(Hll)                           # (L,3,3)
+    Hpp, bp, Hll_inv, Hpl, bl = build_blocks(prob, damping, huber_delta)
 
     # S = Hpp(diag) - sum_l Hpl Hll^-1 Hpl^T  (full (K,K) block structure)
     T1 = jnp.einsum("lkij,ljm->lkim", Hpl, Hll_inv)         # (L,K,6,3)

@@ -9,6 +9,8 @@ back-substitution stays local to each shard.
 """
 
 from visma_tpu.dist.mesh import make_mesh, device_count
+from visma_tpu.dist.pcg_ba import pcg_ba_solve
 from visma_tpu.dist.sharded_ba import sharded_ba_solve, sharded_ba_step
 
-__all__ = ["make_mesh", "device_count", "sharded_ba_solve", "sharded_ba_step"]
+__all__ = ["make_mesh", "device_count", "sharded_ba_solve",
+           "sharded_ba_step", "pcg_ba_solve"]
