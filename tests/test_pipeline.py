@@ -37,6 +37,40 @@ def test_images_to_trajectory():
     assert ate < 0.08, f"image-pipeline ATE {ate:.4f} m"
 
 
+def test_run_chunked_matches_steps():
+    """Throughput mode (one scanned dispatch) reproduces the per-frame
+    step path exactly."""
+    syn = SyntheticConfig(num_frames=12, num_landmarks=80, rows=128,
+                          cols=160, fx=120.0, fy=120.0, cx=80.0, cy=64.0,
+                          seed=13)
+    cfg = FilterConfig(window=6, max_tracks=32, max_updates=8,
+                       fx=syn.fx, fy=syn.fy, cx=syn.cx, cy=syn.cy,
+                       pixel_noise=1.0)
+    frames, gwc, X = render_blob_frames(syn)
+    imu = make_imu(syn)
+    spf = imu["samples_per_frame"]
+    dt = float(np.diff(imu["ts_state"])[0])
+
+    pipe = VioPipeline(cfg, levels=2, cell=20)
+    st0 = pipe.init(jnp.asarray(frames[0]), R0=gwc[0, :, :3],
+                    p0=gwc[0, :, 3], v0=imu["v0"])
+
+    N = syn.num_frames - 1
+    gyro = np.stack([imu["gyro"][i * spf:(i + 1) * spf] for i in range(N)])
+    accel = np.stack([imu["accel"][i * spf:(i + 1) * spf] for i in range(N)])
+    dts = np.full((N, spf), dt, np.float32)
+
+    st = st0
+    ps = []
+    for i in range(N):
+        st = pipe.step(st, frames[i + 1], gyro[i], accel[i], dts[i])
+        ps.append(np.asarray(st.filter.p))
+
+    _, outs = pipe.run(st0, frames[1:], gyro, accel, dts)
+    np.testing.assert_allclose(np.asarray(outs["p"]), np.asarray(ps),
+                               atol=1e-5)
+
+
 def test_export_packets_roundtrip(tmp_path):
     """Filter outputs -> vlslam packets -> decodable dataset file."""
     from visma_tpu.filter import Msckf

@@ -12,26 +12,62 @@ import jax.numpy as jnp
 
 
 def _sample_patch(img: jnp.ndarray, center: jnp.ndarray, radius: int):
-    """Bilinear (2r+1)^2 patch around `center` (x, y). Out-of-bounds clamps."""
+    """Bilinear (2r+1)^2 patch around `center` (x, y).
+
+    TPU-shaped: ONE dynamic_slice of a (2r+2)^2 window + 4 shifted
+    sub-window multiplies, instead of 4*(2r+1)^2 scattered element
+    gathers (the patch grid is regular, so the fractional offset is
+    uniform across the patch). Near the image border the window clamps
+    (slides inward) rather than clamping per pixel — features that close
+    to the border are rejected by track_features' in-bounds gate anyway.
+    """
     H, W = img.shape
     r = radius
-    dy, dx = jnp.mgrid[-r : r + 1, -r : r + 1]
-    xs = center[0] + dx.astype(jnp.float32)
-    ys = center[1] + dy.astype(jnp.float32)
-    x0 = jnp.clip(jnp.floor(xs), 0, W - 2)
-    y0 = jnp.clip(jnp.floor(ys), 0, H - 2)
-    fx = jnp.clip(xs - x0, 0.0, 1.0)
-    fy = jnp.clip(ys - y0, 0.0, 1.0)
-    xi = x0.astype(jnp.int32)
-    yi = y0.astype(jnp.int32)
-    flat = img.reshape(-1)
-    base = yi * W + xi
-    p00 = flat[base]
-    p01 = flat[base + 1]
-    p10 = flat[base + W]
-    p11 = flat[base + W + 1]
-    return (p00 * (1 - fx) * (1 - fy) + p01 * fx * (1 - fy)
-            + p10 * (1 - fx) * fy + p11 * fx * fy)
+    n = 2 * r + 2
+    x0 = jnp.clip(jnp.floor(center[0]) - r, 0, W - n)
+    y0 = jnp.clip(jnp.floor(center[1]) - r, 0, H - n)
+    fx = jnp.clip(center[0] - r - x0, 0.0, 1.0)
+    fy = jnp.clip(center[1] - r - y0, 0.0, 1.0)
+    win = jax.lax.dynamic_slice(
+        img, (y0.astype(jnp.int32), x0.astype(jnp.int32)), (n, n))
+    m = 2 * r + 1
+    return (win[0:m, 0:m] * (1 - fx) * (1 - fy)
+            + win[0:m, 1 : m + 1] * fx * (1 - fy)
+            + win[1 : m + 1, 0:m] * (1 - fx) * fy
+            + win[1 : m + 1, 1 : m + 1] * fx * fy)
+
+
+def _template_and_grads(img: jnp.ndarray, center: jnp.ndarray, radius: int):
+    """Template patch + its spatial gradients from ONE (2r+4)^2 window.
+
+    T is the bilinear patch; Tx/Ty are central differences of the
+    bilinear surface at +-0.5 px, which reduce to differences of shifted
+    sub-windows of the same slice (no extra dynamic_slices)."""
+    H, W = img.shape
+    r = radius
+    n = 2 * r + 4                       # +1 px margin each side for +-0.5
+    x0 = jnp.clip(jnp.floor(center[0]) - r - 1, 0, W - n)
+    y0 = jnp.clip(jnp.floor(center[1]) - r - 1, 0, H - n)
+    fx = jnp.clip(center[0] - r - 1 - x0, 0.0, 1.0)
+    fy = jnp.clip(center[1] - r - 1 - y0, 0.0, 1.0)
+    win = jax.lax.dynamic_slice(
+        img, (y0.astype(jnp.int32), x0.astype(jnp.int32)), (n, n))
+    m = 2 * r + 1
+
+    def interp(i0, j0):
+        """Bilinear patch whose (0,0) pixel sits at window coord
+        (i0 + fy, j0 + fx)."""
+        return (win[i0 : i0 + m, j0 : j0 + m] * (1 - fx) * (1 - fy)
+                + win[i0 : i0 + m, j0 + 1 : j0 + m + 1] * fx * (1 - fy)
+                + win[i0 + 1 : i0 + m + 1, j0 : j0 + m] * (1 - fx) * fy
+                + win[i0 + 1 : i0 + m + 1, j0 + 1 : j0 + m + 1] * fx * fy)
+
+    T = interp(1, 1)
+    # +-0.5 px central differences: average of the two integer-offset
+    # patches bracketing the half-pixel shift
+    Tx = 0.5 * (interp(1, 2) - interp(1, 0))
+    Ty = 0.5 * (interp(2, 1) - interp(0, 1))
+    return T, Tx, Ty
 
 
 def _track_level(prev_img, cur_img, pt_prev, guess, radius, iters):
@@ -39,12 +75,7 @@ def _track_level(prev_img, cur_img, pt_prev, guess, radius, iters):
 
     pt_prev: feature position in prev_img; guess: current displacement
     estimate. Returns (new displacement, residual norm)."""
-    T = _sample_patch(prev_img, pt_prev, radius)
-    eps = 0.5
-    Tx = (_sample_patch(prev_img, pt_prev + jnp.array([eps, 0.0]), radius)
-          - _sample_patch(prev_img, pt_prev - jnp.array([eps, 0.0]), radius)) / (2 * eps)
-    Ty = (_sample_patch(prev_img, pt_prev + jnp.array([0.0, eps]), radius)
-          - _sample_patch(prev_img, pt_prev - jnp.array([0.0, eps]), radius)) / (2 * eps)
+    T, Tx, Ty = _template_and_grads(prev_img, pt_prev, radius)
     Gxx = jnp.sum(Tx * Tx)
     Gxy = jnp.sum(Tx * Ty)
     Gyy = jnp.sum(Ty * Ty)

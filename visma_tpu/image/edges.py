@@ -150,15 +150,46 @@ SOBEL_Y = SOBEL_X.T
 
 @jax.jit
 def sobel_gradients(image: jnp.ndarray):
-    """(H, W) float image -> (gx, gy), same shape, replicate padding."""
-    img = image.astype(jnp.float32)[None, None]
+    """(H, W) float image -> (gx, gy), same shape, zero padding.
 
-    def conv(k):
-        return jax.lax.conv_general_dilated(
-            img, k[None, None], window_strides=(1, 1), padding=((1, 1), (1, 1))
-        )[0, 0]
+    Expressed as padded static shifts + elementwise adds (VPU work XLA
+    fuses into one pass) instead of a 1-input-channel conv — a single-
+    channel 2D conv uses 1/128th of the MXU and measured ~10x slower on
+    v5e at 512x960."""
+    img = image.astype(jnp.float32)
+    H, W = img.shape
+    xp = jnp.pad(img, 1)
 
-    return conv(SOBEL_X), conv(SOBEL_Y)
+    def s(dy, dx):
+        return xp[1 + dy : 1 + dy + H, 1 + dx : 1 + dx + W]
+
+    east_west = s(0, 1) - s(0, -1)
+    ne_nw = s(-1, 1) - s(-1, -1)
+    se_sw = s(1, 1) - s(1, -1)
+    gx = (ne_nw + 2.0 * east_west + se_sw) / 8.0
+    south_north = s(1, 0) - s(-1, 0)
+    gy = ((s(1, -1) - s(-1, -1)) + 2.0 * south_north
+          + (s(1, 1) - s(-1, 1))) / 8.0
+    return gx, gy
+
+
+def _box_sum(x: jnp.ndarray, window: int) -> jnp.ndarray:
+    """Separable zero-padded `window`x`window` box sum via shift-adds."""
+    r = window // 2
+    H, W = x.shape
+
+    def sum_axis(v, axis):
+        pad = [(0, 0), (0, 0)]
+        pad[axis] = (r, r)
+        vp = jnp.pad(v, pad)
+        acc = None
+        for k in range(window):
+            sl = (slice(k, k + H), slice(None)) if axis == 0 \
+                else (slice(None), slice(k, k + W))
+            acc = vp[sl] if acc is None else acc + vp[sl]
+        return acc
+
+    return sum_axis(sum_axis(x, 0), 1)
 
 
 @functools.partial(jax.jit, static_argnames=("window",))
@@ -171,13 +202,7 @@ def shi_tomasi_response(image: jnp.ndarray, window: int = 5) -> jnp.ndarray:
     gx, gy = sobel_gradients(image)
     a, b, c = gx * gx, gx * gy, gy * gy
 
-    k = jnp.ones((1, 1, window, window), jnp.float32)
-
-    def box(x):
-        return jax.lax.conv_general_dilated(
-            x[None, None], k, window_strides=(1, 1),
-            padding=((window // 2,) * 2, (window // 2,) * 2))[0, 0]
-
-    A, B, C = box(a), box(b), box(c)
+    A, B, C = (_box_sum(a, window), _box_sum(b, window),
+               _box_sum(c, window))
     disc = jnp.sqrt(jnp.maximum((A - C) ** 2 + 4.0 * B * B, 0.0))
     return 0.5 * (A + C - disc)

@@ -54,7 +54,9 @@ class VioPipeline:
             f_state = _frame_step(cfg, state.filter, frame)
             return PipelineState(tracker=tr_state, filter=f_state)
 
+        self._step_fn = step
         self._step = jax.jit(step)
+        self._run_jit = None  # built lazily; cached on the instance
 
     def init(self, image0, R0=None, p0=None, v0=None) -> PipelineState:
         tr = self.tracker.init(jnp.asarray(image0))
@@ -70,6 +72,31 @@ class VioPipeline:
 
     def pose(self, state: PipelineState) -> Tuple[np.ndarray, np.ndarray]:
         return np.asarray(state.filter.R), np.asarray(state.filter.p)
+
+    def run(self, state: PipelineState, images, gyro, accel, dts):
+        """Throughput mode: scan the full per-frame step over a device-
+        staged chunk of frames — ONE dispatch for the whole chunk, so
+        per-frame cost is compute, not relay round-trips (the Msckf.run
+        idiom applied to the image pipeline).
+
+        images (N,H,W) f32; gyro/accel (N,S,3); dts (N,S).
+        Returns (final PipelineState, {"R" (N,3,3), "p" (N,3)}).
+        """
+        if self._run_jit is None:
+            def scan_fn(s, fr):
+                s2 = self._step_fn(s, fr["image"], fr["gyro"], fr["accel"],
+                                   fr["dts"])
+                return s2, {"R": s2.filter.R, "p": s2.filter.p}
+
+            @jax.jit
+            def run_jit(state, images, gyro, accel, dts):
+                return jax.lax.scan(scan_fn, state,
+                                    {"image": images, "gyro": gyro,
+                                     "accel": accel, "dts": dts})
+
+            self._run_jit = run_jit
+        return self._run_jit(state, jnp.asarray(images), jnp.asarray(gyro),
+                             jnp.asarray(accel), jnp.asarray(dts))
 
 
 def export_packets(cfg: FilterConfig, outs: Dict[str, np.ndarray],
