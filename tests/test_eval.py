@@ -182,3 +182,50 @@ class TestQuantitativeEvaluation:
         for name in ("surface_error.json", "translation_error.json",
                      "rotation_error.json", "augmented_view.ply"):
             assert os.path.exists(os.path.join(scene_dir, name)), name
+
+    def test_result_index_selects_packet(self, scene):
+        """result_visualization.result_index plumbing (the reference consumes
+        it at visualization.cpp:140-142; negative = last packet)."""
+        config, T_true, scene_dir = scene
+        # prepend a garbage packet; default (-1) must still pick the last
+        result = json.loads(open(os.path.join(scene_dir,
+                                              "result.json")).read())
+        bogus = [dict(obj) for obj in result[0]]
+        for obj in bogus:
+            obj["model_pose"] = list(np.eye(3, 4).ravel() * 50.0)
+        (open(os.path.join(scene_dir, "result.json"), "w")
+         .write(json.dumps([bogus] + result)))
+
+        config["result_visualization"] = {"result_index": -1}
+        metrics = quantitative_evaluation(config)
+        assert metrics["translation"]["max"] < 0.05
+
+        # explicitly selecting the bogus packet changes the outcome
+        config["result_visualization"] = {"result_index": 0}
+        metrics_bad = quantitative_evaluation(config)
+        assert metrics_bad["surface"]["mean"] > 1.0
+
+    def test_reference_tool_json_end_to_end(self, scene, tmp_path):
+        """cli/evaluate runs against a byte-for-byte copy of the reference's
+        actual comment-bearing cfg/tool.json with only the path values
+        swapped (/root/reference/cfg/tool.json:1-49)."""
+        ref = "/root/reference/cfg/tool.json"
+        if not os.path.exists(ref):
+            pytest.skip("reference tree not present")
+        config, T_true, scene_dir = scene
+        text = open(ref).read()
+        dataroot = os.path.dirname(scene_dir)
+        text = text.replace("/local/feixh/VISMA_experiments/RGBD/", dataroot)
+        text = text.replace("/local/feixh/Dropbox/Data/VISMA/CAD/",
+                            config["CAD_database_root"])
+        text = text.replace("/local/feixh/VISMA_experiments/", str(tmp_path))
+        cfg_path = tmp_path / "tool.json"
+        cfg_path.write_text(text)
+
+        from visma_tpu.cli.evaluate import main as evaluate_main
+        evaluate_main([str(cfg_path)])
+
+        import json as J
+        s = J.loads(open(os.path.join(scene_dir,
+                                      "surface_error.json")).read())
+        assert s["mean"] < 0.02

@@ -213,3 +213,50 @@ class TestSyntheticIMU:
             sel = (imu["ts"] > frame_ts[i - 1] + 1e-12) & \
                   (imu["ts"] <= frame_ts[i] + 1e-12)
             assert sel.sum() == 8, sel.sum()
+
+
+class TestJsonComments:
+    """jsoncpp-style comment tolerance (reference loads cfg/tool.json, which
+    is full of // comments, via core/utils.cpp:148)."""
+
+    def test_line_and_block_comments(self, tmp_path):
+        from visma_tpu.io.json_io import load_json
+
+        p = tmp_path / "c.json"
+        p.write_text(
+            '{\n'
+            '  // leading comment\n'
+            '  "a": 1, // trailing comment\n'
+            '  /* block\n     comment */\n'
+            '  "b": "has // no comment /* inside */ strings",\n'
+            '  "c": "escaped \\" quote // still string"\n'
+            '}\n')
+        d = load_json(str(p))
+        assert d["a"] == 1
+        assert d["b"] == "has // no comment /* inside */ strings"
+        assert d["c"] == 'escaped " quote // still string'
+
+    def test_plain_json_unaffected(self, tmp_path):
+        from visma_tpu.io.json_io import load_json
+
+        p = tmp_path / "p.json"
+        p.write_text('{"url": "http://x//y", "n": [1, 2]}')
+        d = load_json(str(p))
+        assert d["url"] == "http://x//y" and d["n"] == [1, 2]
+
+    def test_loads_reference_tool_json(self):
+        """The shipped reference config parses as-is."""
+        import os
+
+        from visma_tpu.io.json_io import load_json
+
+        ref = "/root/reference/cfg/tool.json"
+        if not os.path.exists(ref):
+            import pytest
+            pytest.skip("reference tree not present")
+        cfg = load_json(ref)
+        assert cfg["dataset"] == "clutter1"
+        assert cfg["evaluation"]["samples_per_model"] == 50000
+        assert cfg["evaluation"]["voxel_size"] == 0.05
+        assert cfg["evaluation"]["max_distance"] == 0.075
+        assert cfg["result_visualization"]["result_index"] == -1

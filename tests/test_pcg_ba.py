@@ -87,3 +87,57 @@ class TestPcgSolve:
         sol, hist = pcg_ba_solve(prob, mesh, iters=3, cg_iters=20)
         assert sol.X.shape == prob.X.shape
         assert np.isfinite(np.asarray(hist)).all()
+
+
+class TestSolverDispatch:
+    """sharded_ba_solve's `solver` flag wires the matrix-free PCG path into
+    the system (VERDICT r1 item 5)."""
+
+    def test_flag_selects_equal_solutions(self):
+        prob, _ = synthetic_ba_problem(num_poses=8, num_landmarks=96,
+                                       noise_px=0.5, pose_noise=0.03)
+        mesh = make_mesh(8)
+        sol_d, _ = sharded_ba_solve(prob, mesh, iters=8, solver="dense")
+        sol_p, _ = sharded_ba_solve(prob, mesh, iters=8, solver="pcg",
+                                    cg_iters=30)
+        np.testing.assert_allclose(np.asarray(sol_p.p), np.asarray(sol_d.p),
+                                   atol=5e-3)
+        np.testing.assert_allclose(np.asarray(sol_p.R), np.asarray(sol_d.R),
+                                   atol=5e-3)
+
+    def test_auto_crossover(self, monkeypatch):
+        """auto = dense below the crossover, pcg above it."""
+        import visma_tpu.dist.sharded_ba as sba
+
+        calls = []
+        monkeypatch.setattr(
+            "visma_tpu.dist.pcg_ba.pcg_ba_solve",
+            lambda prob, mesh, **kw: calls.append("pcg") or (prob, None))
+        monkeypatch.setattr(
+            sba, "_jitted_solver",
+            lambda mesh, iters: lambda p, lam: calls.append("dense")
+            or (p, None))
+
+        small, _ = synthetic_ba_problem(num_poses=6, num_landmarks=32)
+        big, _ = synthetic_ba_problem(num_poses=sba.PCG_CROSSOVER_K + 1,
+                                      num_landmarks=32)
+        mesh = make_mesh(8)
+        sharded_ba_solve(small, mesh, iters=1, solver="auto")
+        sharded_ba_solve(big, mesh, iters=1, solver="auto")
+        assert calls == ["dense", "pcg"]
+
+    def test_submap_polish_pcg(self):
+        from visma_tpu.dist.submap_ba import submap_ba_solve
+
+        prob, truth = synthetic_ba_problem(num_poses=16, num_landmarks=128,
+                                           noise_px=0.5, pose_noise=0.02)
+        mesh = make_mesh(8)
+        sol, _ = submap_ba_solve(prob, mesh, iters=6, polish_iters=3,
+                                 polish_solver="pcg")
+        from visma_tpu.align import umeyama
+
+        T = np.asarray(umeyama(jnp.asarray(np.asarray(sol.p)),
+                               jnp.asarray(truth["p"].astype(np.float32)),
+                               with_scaling=True))
+        p_al = np.asarray(sol.p) @ T[:3, :3].T + T[:3, 3]
+        assert np.linalg.norm(p_al - truth["p"], axis=1).max() < 0.02

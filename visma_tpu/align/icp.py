@@ -29,17 +29,34 @@ class IcpResult:
     correspondences: int
 
 
-def _estimate_normals(points: jnp.ndarray, valid, k: int = 12):
-    """PCA normals from k-NN (for point-to-plane)."""
-    # pairwise top-k (fine for eval-scale clouds)
-    d2 = jnp.sum((points[:, None, :] - points[None, :, :]) ** 2, axis=-1)
-    d2 = jnp.where(valid[None, :], d2, jnp.inf)
-    _, idx = jax.lax.top_k(-d2, k)
-    neigh = points[idx]                       # (N,k,3)
-    mu = neigh.mean(axis=1, keepdims=True)
-    cov = jnp.einsum("nki,nkj->nij", neigh - mu, neigh - mu)
-    _, vecs = jnp.linalg.eigh(cov)
-    return vecs[..., 0]                       # smallest eigenvector
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def _estimate_normals(points: jnp.ndarray, valid, k: int = 12,
+                      chunk: int = 512):
+    """PCA normals from k-NN (for point-to-plane).
+
+    Tiled over query chunks so peak memory is chunk*N, not N*N — the
+    reference operating point is 50k samples/model (cfg/tool.json:31,
+    evaluation.cpp:258-271), where a dense N^2 matrix would be ~10 GB.
+    Distances ride the MXU as a matmul (||a-b||^2 expansion).
+    """
+    N = points.shape[0]
+    pad = (-N) % chunk
+    q = jnp.pad(points, ((0, pad), (0, 0)))
+    r2 = jnp.sum(points * points, axis=1)
+    r2 = jnp.where(valid, r2, jnp.inf)
+
+    def body(qc):
+        q2 = jnp.sum(qc * qc, axis=1)
+        d2 = q2[:, None] + r2[None, :] - 2.0 * qc @ points.T
+        _, idx = jax.lax.top_k(-d2, k)
+        neigh = points[idx]                   # (chunk,k,3)
+        mu = neigh.mean(axis=1, keepdims=True)
+        cov = jnp.einsum("nki,nkj->nij", neigh - mu, neigh - mu)
+        _, vecs = jnp.linalg.eigh(cov)
+        return vecs[..., 0]                   # smallest eigenvector
+
+    normals = jax.lax.map(body, q.reshape(-1, chunk, 3))
+    return normals.reshape(-1, 3)[:N]
 
 
 def _transform(T, pts):

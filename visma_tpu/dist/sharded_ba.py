@@ -129,10 +129,33 @@ def sharded_ba_step(prob: BaProblem, mesh: Mesh, damping: float = 1e-3):
                      mask=new.mask[:L], intr=new.intr), cost
 
 
+# Past this many keyframes the matrix-free PCG path wins: the dense path
+# psums the full (6K)^2 reduced system and Cholesky-factors it replicated
+# (O(K^2) comm, O(K^3) flops per GN step); PCG communicates O(6K) per CG
+# iteration and never materializes S.
+PCG_CROSSOVER_K = 64
+
+
 def sharded_ba_solve(prob: BaProblem, mesh: Mesh, iters: int = 10,
-                     damping: float = 1e-3):
+                     damping: float = 1e-3, solver: str = "auto",
+                     cg_iters: int = 25):
     """Distributed LM loop (same acceptance logic as ba_solve), jitted as
-    one computation over the mesh. Returns (solution, cost history)."""
+    one computation over the mesh. Returns (solution, cost history).
+
+    solver: "dense" psums the (6K)^2 reduced system and solves it
+    replicated; "pcg" uses the matrix-free distributed PCG
+    (dist/pcg_ba.py, O(6K) comm per CG iteration); "auto" picks PCG when
+    num_poses > PCG_CROSSOVER_K.
+    """
+    if solver == "auto":
+        solver = "pcg" if prob.num_poses > PCG_CROSSOVER_K else "dense"
+    if solver == "pcg":
+        from visma_tpu.dist.pcg_ba import pcg_ba_solve
+
+        return pcg_ba_solve(prob, mesh, iters=iters, cg_iters=cg_iters,
+                            damping=damping)
+    if solver != "dense":
+        raise ValueError(f"unknown solver {solver!r}")
     padded, L = _shard_problem(prob, mesh)
     sol, hist = _jitted_solver(mesh, iters)(
         padded, jnp.asarray(damping, jnp.float32))

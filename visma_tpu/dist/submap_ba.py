@@ -144,13 +144,18 @@ def _jitted_local_solver(mesh: Mesh, iters: int):
 
 def submap_ba_solve(prob: BaProblem, mesh: Mesh, iters: int = 10,
                     polish_iters: int = 3, halo: int = 1,
-                    consensus: bool = True) -> Tuple[BaProblem, dict]:
+                    consensus: bool = True,
+                    polish_solver: str = "auto") -> Tuple[BaProblem, dict]:
     """Keyframe-sharded BA over the mesh. Returns (stitched problem, info).
 
     polish_iters: after stitching, run a few GLOBAL landmark-sharded
     iterations (visma_tpu.dist.sharded_ba) — submapping has solved the
     bulk of the nonlinearity chunk-locally in parallel; the polish removes
     the residual cross-chunk coupling the per-chunk gauges can't see.
+    polish_solver: "dense" | "pcg" | "auto" — forwarded to
+    sharded_ba_solve; "auto" switches to the matrix-free PCG path past
+    PCG_CROSSOVER_K keyframes (submap runs are exactly the long-sequence
+    regime where the dense (6K)^2 psum stops scaling).
 
     halo: shared boundary frames per chunk pair; with halo > 1 the stitch
     edge averages the relative transform over every shared frame (chordal
@@ -170,7 +175,8 @@ def submap_ba_solve(prob: BaProblem, mesh: Mesh, iters: int = 10,
     if polish_iters > 0:
         from visma_tpu.dist.sharded_ba import sharded_ba_solve
 
-        stitched, _ = sharded_ba_solve(stitched, mesh, iters=polish_iters)
+        stitched, _ = sharded_ba_solve(stitched, mesh, iters=polish_iters,
+                                       solver=polish_solver)
     return stitched, info
 
 

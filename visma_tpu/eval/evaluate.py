@@ -51,8 +51,11 @@ def _load_gt_models(fragment_dir: str, cad_root: str, samples: int):
 def _load_result_models(scene_dir: str, cad_root: str, samples: int,
                         result_index: int = -1):
     """result.json: list over time of [{id, model_name, model_pose(3x4),
-    status}, ...]; the LAST entry is evaluated (evaluation.cpp:163-198)."""
+    status}, ...]; `result_index` selects the packet; any negative index
+    means the LAST entry (visualization.cpp:140-142, evaluation.cpp:163-198)."""
     result = load_json(os.path.join(scene_dir, "result.json"))
+    if result_index < 0:
+        result_index = len(result) - 1
     packet = result[result_index]
     models = {}
     for obj in packet:
@@ -77,24 +80,29 @@ def mesh_alignment(config: Dict) -> np.ndarray:
     cad_root = config["CAD_database_root"]
     samples = int(config.get("visualization", {}).get("model_samples", 5000))
 
+    result_index = int(config.get("result_visualization", {})
+                       .get("result_index", -1))
     models_gt = _load_gt_models(fragment_dir, cad_root, samples)
-    models_est = _load_result_models(scene_dir, cad_root, samples)
+    models_est = _load_result_models(scene_dir, cad_root, samples,
+                                     result_index=result_index)
 
     T_ef_corvis, matches = register_scenes(models_gt, models_est)
 
     ev = config.get("evaluation", {})
     if ev.get("ICP_refinement", False):
         scene_pts, _ = load_ply(os.path.join(scene_dir, "test.klg.ply"))
-        spm = int(ev.get("samples_per_model", 5000))
+        # fallback defaults = the reference operating point
+        # (cfg/tool.json:29-31, consumed at evaluation.cpp:258-271)
+        spm = int(ev.get("samples_per_model", 50000))
         est_pts = np.concatenate([
             sample_mesh(m["V"], m["F"], spm) @ m["pose"][:3, :3].T
             + m["pose"][:3, 3] for m in models_est.values()])
         import jax.numpy as jnp
 
         ds, dv = voxel_downsample(jnp.asarray(scene_pts, jnp.float32),
-                                  float(ev.get("voxel_size", 0.02)))
+                                  float(ev.get("voxel_size", 0.05)))
         res = icp(est_pts, np.asarray(ds),
-                  max_distance=float(ev.get("max_distance", 0.05)),
+                  max_distance=float(ev.get("max_distance", 0.075)),
                   init=T_ef_corvis,
                   point_to_plane=bool(ev.get("use_point_to_plane", False)),
                   target_valid=dv)
@@ -128,7 +136,10 @@ def quantitative_evaluation(config: Dict) -> Dict[str, Dict[str, float]]:
 
     T_ef_corvis = mesh_alignment(config)
 
-    models_est = _load_result_models(scene_dir, cad_root, samples)
+    result_index = int(config.get("result_visualization", {})
+                       .get("result_index", -1))
+    models_est = _load_result_models(scene_dir, cad_root, samples,
+                                     result_index=result_index)
     Vr, Fr, Gr, _ = assemble_scene(models_est, alignment=T_ef_corvis)
 
     models_gt = _load_gt_models(os.path.join(scene_dir, "fragments"),

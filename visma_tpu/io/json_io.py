@@ -8,9 +8,62 @@ from typing import Any, Dict
 import numpy as np
 
 
+def strip_json_comments(text: str) -> str:
+    """Remove ``//`` line comments and ``/* */`` block comments outside of
+    string literals, replacing them with spaces so offsets/line numbers in
+    error messages stay meaningful.
+
+    The reference loads its configs with jsoncpp (core/utils.cpp:148), which
+    accepts comments; the shipped cfg/tool.json is full of them
+    (/root/reference/cfg/tool.json:2-12,26-31), so plain json.load crashes on
+    the one config the reference actually uses.
+    """
+    out = []
+    i, n = 0, len(text)
+    in_string = False
+    while i < n:
+        c = text[i]
+        if in_string:
+            out.append(c)
+            if c == "\\" and i + 1 < n:
+                out.append(text[i + 1])
+                i += 2
+                continue
+            if c == '"':
+                in_string = False
+            i += 1
+        elif c == '"':
+            in_string = True
+            out.append(c)
+            i += 1
+        elif c == "/" and i + 1 < n and text[i + 1] == "/":
+            while i < n and text[i] != "\n":
+                out.append(" ")
+                i += 1
+        elif c == "/" and i + 1 < n and text[i + 1] == "*":
+            out.append("  ")
+            i += 2
+            while i < n and not (text[i] == "*" and i + 1 < n
+                                 and text[i + 1] == "/"):
+                out.append("\n" if text[i] == "\n" else " ")
+                i += 1
+            if i < n:
+                out.append("  ")
+                i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def load_json(path: str) -> Dict[str, Any]:
+    """Load JSON, tolerating jsoncpp-style comments (utils.cpp:148)."""
     with open(path, "r") as fp:
-        return json.load(fp)
+        text = fp.read()
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        return json.loads(strip_json_comments(text))
 
 
 def save_json(obj: Dict[str, Any], path: str, indent: int = 2) -> None:
