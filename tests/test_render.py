@@ -211,3 +211,78 @@ class TestRenderer:
         np.testing.assert_allclose(np.asarray(back)[fin], np.asarray(d)[fin],
                                    rtol=1e-3)
         assert float(np.asarray(gl)[~fin].min()) == 1.0
+
+
+class TestMultiMesh:
+    """MultiMeshRenderer: one dispatch over per-hypothesis mesh indices must
+    equal per-mesh Renderer calls (pads faces with degenerate rows)."""
+
+    def make_db(self):
+        Vq, Fq = quad(z=0.0, half=0.6)      # 2 faces
+        Vs_, Fs_ = icosphere(subdiv=1, r=0.4)  # 80 faces (forces padding)
+        return {"quad": (Vq, Fq), "sphere": (Vs_, Fs_)}
+
+    def poses(self):
+        rng = np.random.default_rng(9)
+        out = []
+        for i in range(5):
+            th = rng.uniform(0, 2 * np.pi)
+            c, s = np.cos(th), np.sin(th)
+            P = np.zeros((3, 4), np.float32)
+            P[:, :3] = [[c, 0, s], [0, 1, 0], [-s, 0, c]]
+            P[2, 3] = 2.0 + 0.2 * i
+            out.append(P)
+        return np.stack(out)
+
+    def test_xla_path_matches_per_mesh(self):
+        from visma_tpu.render.raster import MultiMeshRenderer
+
+        db = self.make_db()
+        m = MultiMeshRenderer(INTR, use_pallas=False)
+        m.set_meshes(db)
+        poses = self.poses()
+        mi = np.array([0, 1, 0, 1, 1])
+        got = np.asarray(m.render_depth(jnp.asarray(poses), mi))
+        for i, name in enumerate(["quad", "sphere", "quad", "sphere",
+                                  "sphere"]):
+            r = Renderer(INTR, use_pallas=False)
+            r.set_mesh(*db[name])
+            want = np.asarray(r.render_depth(jnp.asarray(poses[i])))
+            both = np.isfinite(got[i]) & np.isfinite(want)
+            assert (np.isfinite(got[i]) == np.isfinite(want)).all(), i
+            np.testing.assert_allclose(got[i][both], want[both], atol=1e-3)
+
+    def test_pallas_multi_matches_xla(self):
+        from visma_tpu.render.raster import (MultiMeshRenderer,
+                                             rasterize_depth_chunked_multi)
+
+        db = self.make_db()
+        m = MultiMeshRenderer(INTR, use_pallas=False)
+        m.set_meshes(db)
+        poses = jnp.asarray(self.poses())
+        mi = jnp.asarray([1, 0, 1, 1, 0], jnp.int32)
+        ref = np.asarray(m.render_depth(poses, mi))
+        new = np.asarray(rasterize_depth_chunked_multi(
+            m.Vs, m.Fs, poses, mi, INTR, 32, interpret=True))
+        assert (np.isfinite(ref) == np.isfinite(new)).all()
+        both = np.isfinite(ref) & np.isfinite(new)
+        np.testing.assert_allclose(ref[both], new[both], atol=1e-3)
+
+    def test_single_mesh_chunked_unchanged(self):
+        """Refactor guard: rasterize_depth_chunked (single mesh) still
+        matches the XLA tile path after the _prep_chunks factor-out."""
+        from visma_tpu.render.raster import (rasterize_depth_chunked,
+                                             sort_faces_morton)
+
+        V, F = icosphere(subdiv=1, r=0.5)
+        V = V + np.array([0, 0, 2.0], np.float32)
+        F = sort_faces_morton(V, F)
+        poses = jnp.asarray(self.poses())
+        ref = jax.vmap(lambda p: rasterize_depth(
+            jnp.asarray(V), jnp.asarray(F), p, INTR, 32, 512))(poses)
+        new = rasterize_depth_chunked(jnp.asarray(V), jnp.asarray(F),
+                                      poses, INTR, 32, interpret=True)
+        ref, new = np.asarray(ref), np.asarray(new)
+        assert (np.isfinite(ref) == np.isfinite(new)).all()
+        both = np.isfinite(ref) & np.isfinite(new)
+        np.testing.assert_allclose(ref[both], new[both], atol=1e-3)

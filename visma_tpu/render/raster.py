@@ -252,60 +252,62 @@ def _chunk_raster_kernel(counts_ref, ids_ref, planes_ref, out_ref, *,
         jnp.zeros((P // 128, 128), jnp.float32))
 
 
-@functools.partial(jax.jit, static_argnames=("intr", "tile", "chunk",
-                                             "interpret"))
-def rasterize_depth_chunked(V: jnp.ndarray, F: jnp.ndarray,
-                            poses_cw: jnp.ndarray, intr: Intrinsics,
-                            tile: int = 32, chunk: int = 128,
-                            interpret: bool = False) -> jnp.ndarray:
-    """Batched exact rasterizer: poses_cw (B,3,4) -> depth (B,H,W) f32,
-    +inf background. Pass F through sort_faces_morton for performance (the
-    result is identical for any face order)."""
+def _prep_chunks(V, F, pose, intr: Intrinsics, tile: int, chunk: int):
+    """Per-pose chunked-kernel inputs: packed plane table + per-tile chunk
+    id lists. V/F may be traced arrays (per-hypothesis meshes) — only their
+    SHAPES must be static."""
     H, W = intr.rows, intr.cols
     nty, ntx = -(-H // tile), -(-W // tile)
     ntiles = nty * ntx
-    B = poses_cw.shape[0]
     T = F.shape[0]
-    P = tile * tile
-    assert P % 128 == 0, "tile*tile must be lane-aligned"
     pad = (-T) % chunk
     nc = (T + pad) // chunk
 
-    def prep(p):
-        xy, z = _project(V, p, intr)
-        planes, ok = _triangle_planes(xy, z, F, intr)
-        fail = jnp.zeros((12,), jnp.float32).at[2].set(-1.0)
-        planes = jnp.concatenate(
-            [planes, jnp.broadcast_to(fail, (pad, 12))], axis=0)
-        # triangle screen bboxes; dead triangles excluded from chunk bboxes
-        p0, p1, p2 = xy[F[:, 0]], xy[F[:, 1]], xy[F[:, 2]]
-        xs = jnp.stack([p0[:, 0], p1[:, 0], p2[:, 0]], 0)
-        ys = jnp.stack([p0[:, 1], p1[:, 1], p2[:, 1]], 0)
-        big = jnp.float32(1e9)
-        x0 = jnp.where(ok, jnp.min(xs, 0), big)
-        x1 = jnp.where(ok, jnp.max(xs, 0), -big)
-        y0 = jnp.where(ok, jnp.min(ys, 0), big)
-        y1 = jnp.where(ok, jnp.max(ys, 0), -big)
-        x0 = jnp.pad(x0, (0, pad), constant_values=big)
-        x1 = jnp.pad(x1, (0, pad), constant_values=-big)
-        y0 = jnp.pad(y0, (0, pad), constant_values=big)
-        y1 = jnp.pad(y1, (0, pad), constant_values=-big)
-        cx0, cx1 = x0.reshape(nc, chunk).min(1), x1.reshape(nc, chunk).max(1)
-        cy0, cy1 = y0.reshape(nc, chunk).min(1), y1.reshape(nc, chunk).max(1)
-        # packed per-tile lists of overlapping chunk ids (+ counts): the
-        # kernel's dynamic trip count. Tiny: (tiles, nc) booleans.
-        ty0 = jnp.arange(nty) * tile
-        tx0 = jnp.arange(ntx) * tile
-        ov_x = (cx0[None, :] <= (tx0[:, None] + tile - 1)) & (cx1[None, :] >= tx0[:, None])
-        ov_y = (cy0[None, :] <= (ty0[:, None] + tile - 1)) & (cy1[None, :] >= ty0[:, None])
-        ov = (ov_y[:, None, :] & ov_x[None, :, :]).reshape(ntiles, nc)
-        score = ov.astype(jnp.int32) * (nc - jnp.arange(nc, dtype=jnp.int32))
-        _, ids = jax.lax.top_k(score, nc)
-        counts = jnp.sum(ov, axis=1, dtype=jnp.int32)
+    xy, z = _project(V, pose, intr)
+    planes, ok = _triangle_planes(xy, z, F, intr)
+    fail = jnp.zeros((12,), jnp.float32).at[2].set(-1.0)
+    planes = jnp.concatenate(
+        [planes, jnp.broadcast_to(fail, (pad, 12))], axis=0)
+    # triangle screen bboxes; dead triangles excluded from chunk bboxes
+    p0, p1, p2 = xy[F[:, 0]], xy[F[:, 1]], xy[F[:, 2]]
+    xs = jnp.stack([p0[:, 0], p1[:, 0], p2[:, 0]], 0)
+    ys = jnp.stack([p0[:, 1], p1[:, 1], p2[:, 1]], 0)
+    big = jnp.float32(1e9)
+    x0 = jnp.where(ok, jnp.min(xs, 0), big)
+    x1 = jnp.where(ok, jnp.max(xs, 0), -big)
+    y0 = jnp.where(ok, jnp.min(ys, 0), big)
+    y1 = jnp.where(ok, jnp.max(ys, 0), -big)
+    x0 = jnp.pad(x0, (0, pad), constant_values=big)
+    x1 = jnp.pad(x1, (0, pad), constant_values=-big)
+    y0 = jnp.pad(y0, (0, pad), constant_values=big)
+    y1 = jnp.pad(y1, (0, pad), constant_values=-big)
+    cx0, cx1 = x0.reshape(nc, chunk).min(1), x1.reshape(nc, chunk).max(1)
+    cy0, cy1 = y0.reshape(nc, chunk).min(1), y1.reshape(nc, chunk).max(1)
+    # packed per-tile lists of overlapping chunk ids (+ counts): the
+    # kernel's dynamic trip count. Tiny: (tiles, nc) booleans.
+    ty0 = jnp.arange(nty) * tile
+    tx0 = jnp.arange(ntx) * tile
+    ov_x = (cx0[None, :] <= (tx0[:, None] + tile - 1)) & (cx1[None, :] >= tx0[:, None])
+    ov_y = (cy0[None, :] <= (ty0[:, None] + tile - 1)) & (cy1[None, :] >= ty0[:, None])
+    ov = (ov_y[:, None, :] & ov_x[None, :, :]).reshape(ntiles, nc)
+    score = ov.astype(jnp.int32) * (nc - jnp.arange(nc, dtype=jnp.int32))
+    _, ids = jax.lax.top_k(score, nc)
+    counts = jnp.sum(ov, axis=1, dtype=jnp.int32)
 
-        cpl = planes.reshape(nc, chunk, 12).transpose(0, 2, 1)
-        cpl = jnp.pad(cpl, ((0, 0), (0, 4), (0, 0)))              # (nc,16,chunk)
-        return cpl, ids.astype(jnp.int32), counts
+    cpl = planes.reshape(nc, chunk, 12).transpose(0, 2, 1)
+    cpl = jnp.pad(cpl, ((0, 0), (0, 4), (0, 0)))              # (nc,16,chunk)
+    return cpl, ids.astype(jnp.int32), counts
+
+
+def _chunk_raster_call(intr: Intrinsics, T: int, tile: int, chunk: int,
+                       interpret: bool):
+    """Build the pallas_call for a given (image, facecount) geometry."""
+    H, W = intr.rows, intr.cols
+    nty, ntx = -(-H // tile), -(-W // tile)
+    ntiles = nty * ntx
+    P = tile * tile
+    assert P % 128 == 0, "tile*tile must be lane-aligned"
+    nc = (T + (-T) % chunk) // chunk
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -317,7 +319,7 @@ def rasterize_depth_chunked(V: jnp.ndarray, F: jnp.ndarray,
         out_specs=pl.BlockSpec((1, P // 128, 128), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
     )
-    call = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_chunk_raster_kernel, tile=tile, ntx=ntx,
                           chunk=chunk,
                           inv_near=1.0 / intr.z_near,
@@ -327,17 +329,62 @@ def rasterize_depth_chunked(V: jnp.ndarray, F: jnp.ndarray,
         interpret=interpret,
     )
 
-    def one_pose(_, pose):
-        # scanned (not vmapped): the scalar-prefetch id table must stay
-        # per-pose to fit SMEM, and poses are serial on one core anyway
-        planes, ids, counts = prep(pose)
-        return None, call(counts, ids, planes)
 
-    _, inv = jax.lax.scan(one_pose, None, poses_cw)
-
+def _stitch_inv(inv, intr: Intrinsics, tile: int):
+    H, W = intr.rows, intr.cols
+    nty, ntx = -(-H // tile), -(-W // tile)
+    B = inv.shape[0]
     inv = inv.reshape(B, nty, ntx, tile, tile).transpose(0, 1, 3, 2, 4)
     inv = inv.reshape(B, nty * tile, ntx * tile)[:, :H, :W]
     return jnp.where(inv > 0, 1.0 / jnp.maximum(inv, 1e-12), jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "tile", "chunk",
+                                             "interpret"))
+def rasterize_depth_chunked(V: jnp.ndarray, F: jnp.ndarray,
+                            poses_cw: jnp.ndarray, intr: Intrinsics,
+                            tile: int = 32, chunk: int = 128,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Batched exact rasterizer: poses_cw (B,3,4) -> depth (B,H,W) f32,
+    +inf background. Pass F through sort_faces_morton for performance (the
+    result is identical for any face order)."""
+    call = _chunk_raster_call(intr, F.shape[0], tile, chunk, interpret)
+
+    def one_pose(_, pose):
+        # scanned (not vmapped): the scalar-prefetch id table must stay
+        # per-pose to fit SMEM, and poses are serial on one core anyway
+        planes, ids, counts = _prep_chunks(V, F, pose, intr, tile, chunk)
+        return None, call(counts, ids, planes)
+
+    _, inv = jax.lax.scan(one_pose, None, poses_cw)
+    return _stitch_inv(inv, intr, tile)
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "tile", "chunk",
+                                             "interpret"))
+def rasterize_depth_chunked_multi(Vs: jnp.ndarray, Fs: jnp.ndarray,
+                                  poses_cw: jnp.ndarray,
+                                  mesh_idx: jnp.ndarray, intr: Intrinsics,
+                                  tile: int = 32, chunk: int = 128,
+                                  interpret: bool = False) -> jnp.ndarray:
+    """Chunked rasterizer over a STACK of padded meshes: hypothesis b
+    renders mesh Vs[mesh_idx[b]], Fs[mesh_idx[b]] at poses_cw[b].
+
+    Vs (M,Vmax,3) zero-padded vertices, Fs (M,Tmax,3) faces padded with
+    degenerate [0,0,0] rows (zero area -> rejected by _triangle_planes).
+    One dispatch renders hypotheses of DIFFERENT objects — the multi-object
+    mapper's whole per-frame hypothesis batch at once."""
+    call = _chunk_raster_call(intr, Fs.shape[1], tile, chunk, interpret)
+
+    def one_pose(_, args):
+        pose, mi = args
+        planes, ids, counts = _prep_chunks(Vs[mi], Fs[mi], pose, intr,
+                                           tile, chunk)
+        return None, call(counts, ids, planes)
+
+    _, inv = jax.lax.scan(one_pose, None,
+                          (poses_cw, mesh_idx.astype(jnp.int32)))
+    return _stitch_inv(inv, intr, tile)
 
 
 @functools.partial(jax.jit, static_argnames=("intr", "tile", "capacity"))
@@ -458,4 +505,86 @@ class Renderer:
         from visma_tpu.image.edges import depth_edge
 
         d = self.render_depth(g_cm)
+        return depth_edge(d)
+
+
+def pad_mesh_stack(meshes):
+    """Stack meshes of different sizes into padded arrays for
+    rasterize_depth_chunked_multi.
+
+    meshes: list of (V (Ni,3), F (Ti,3)). Faces are Morton-sorted per mesh
+    (identical output, chunk locality); V is zero-padded, F padded with
+    degenerate [0,0,0] rows that _triangle_planes rejects (zero area).
+    Returns (Vs (M,Vmax,3) f32, Fs (M,Tmax,3) i32).
+    """
+    Vmax = max(len(V) for V, _ in meshes)
+    Tmax = max(len(F) for _, F in meshes)
+    Vs = np.zeros((len(meshes), Vmax, 3), np.float32)
+    Fs = np.zeros((len(meshes), Tmax, 3), np.int32)
+    for i, (V, F) in enumerate(meshes):
+        V = np.asarray(V, np.float32)
+        Vs[i, : len(V)] = V
+        Fm = sort_faces_morton(V, np.asarray(F))
+        Fs[i, : len(Fm)] = Fm
+    return jnp.asarray(Vs), jnp.asarray(Fs)
+
+
+class MultiMeshRenderer:
+    """Renderer over a DATABASE of meshes: every call takes a per-hypothesis
+    mesh index, so one dispatch renders hypothesis batches of different
+    objects (the semantic mapper's whole frame at once — the reference
+    renders one mesh per GL pass, renderer.cpp:303-351).
+    """
+
+    def __init__(self, intr: Intrinsics, tile: int = 32,
+                 capacity: int = 128, use_pallas: Optional[bool] = None):
+        self.intr = intr
+        self.tile = tile
+        self.capacity = capacity
+        self.use_pallas = (jax.default_backend() == "tpu"
+                           if use_pallas is None else use_pallas)
+        self.names: list = []
+        self.Vs: Optional[jnp.ndarray] = None
+        self.Fs: Optional[jnp.ndarray] = None
+
+    def set_meshes(self, mesh_db) -> None:
+        """mesh_db: {name: (V, F)} (insertion order fixes indices)."""
+        self.names = list(mesh_db.keys())
+        self.Vs, self.Fs = pad_mesh_stack([mesh_db[n] for n in self.names])
+
+    def index(self, name: str) -> int:
+        return self.names.index(name)
+
+    def _poses(self, g_cm):
+        g = jnp.asarray(g_cm, jnp.float32)
+        if g.shape[-2:] == (4, 4):
+            g = g[..., :3, :]
+        return g.reshape(-1, 3, 4), g.shape[:-2]
+
+    def render_depth(self, g_cm, mesh_idx) -> jnp.ndarray:
+        """g_cm (...,3,4)/(...,4,4) model->camera; mesh_idx (...,) int —
+        which database mesh each hypothesis renders. Returns (...,H,W)."""
+        poses, batch = self._poses(g_cm)
+        mi = jnp.asarray(mesh_idx, jnp.int32).reshape(-1)
+        if mi.shape[0] == 1 and poses.shape[0] > 1:
+            mi = jnp.broadcast_to(mi, (poses.shape[0],))
+        if self.use_pallas and self.tile * self.tile % 128 == 0:
+            out = rasterize_depth_chunked_multi(self.Vs, self.Fs, poses, mi,
+                                                self.intr, self.tile)
+        else:
+            out = jax.vmap(
+                lambda m, p: rasterize_depth(self.Vs[m], self.Fs[m], p,
+                                             self.intr, self.tile,
+                                             self.capacity))(mi, poses)
+        return (out.reshape(*batch, self.intr.rows, self.intr.cols)
+                if batch else out[0])
+
+    def render_mask(self, g_cm, mesh_idx) -> jnp.ndarray:
+        d = self.render_depth(g_cm, mesh_idx)
+        return (jnp.isfinite(d) * 255).astype(jnp.uint8)
+
+    def render_edge(self, g_cm, mesh_idx) -> jnp.ndarray:
+        from visma_tpu.image.edges import depth_edge
+
+        d = self.render_depth(g_cm, mesh_idx)
         return depth_edge(d)

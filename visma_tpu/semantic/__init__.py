@@ -13,7 +13,9 @@ provides that capability TPU-first:
   result.json export compatible with the reference evaluation pipeline.
 """
 
-from visma_tpu.semantic.cem import refine_pose_cem
+from visma_tpu.semantic.cem import (refine_pose_cem,
+                                    refine_pose_cem_batched)
 from visma_tpu.semantic.mapper import ObjectTrack, SemanticMapper
 
-__all__ = ["refine_pose_cem", "ObjectTrack", "SemanticMapper"]
+__all__ = ["refine_pose_cem", "refine_pose_cem_batched",
+           "ObjectTrack", "SemanticMapper"]

@@ -5,22 +5,34 @@ Workflow per frame (the papers' object-level mapping loop):
      initialized by back-projecting the bbox center at a depth prior and
      sweeping yaw (annotation-tool idiom);
   2. existing tracks refine their pose against the frame's edge map with
-     CEM over batched render+score;
+     CEM over batched render+score — ALL tracks jointly: one render+score
+     dispatch per CEM iteration covers every track's hypothesis batch
+     (render.raster.MultiMeshRenderer over the padded mesh stack), so the
+     per-frame dispatch count is O(1) in the number of objects;
   3. tracks export as reference-compatible result.json packets
      (model_pose is model->WORLD, composed through the frame's gwc —
      matching MeshAlignment's "ALREADY IN CORVIS FRAME" convention,
      evaluation.cpp:194).
+
+Occlusion handling: each track's hypotheses score against the joint
+z-buffer of the OTHER tracks at their poses at the START of the frame
+(one batched render). The r1 implementation instead settled tracks
+sequentially front-to-back, updating occluders as it went — one dispatch
+chain per object (~30 ms relay RTT each); the joint refinement converges
+to the same poses over the 2-3 frames a track takes to settle while
+keeping the frame cost flat in object count.
 """
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional
 
 import numpy as np
 
-from visma_tpu.render import Intrinsics, Renderer
-from visma_tpu.semantic.cem import refine_pose_cem
+from visma_tpu.render import Intrinsics
+from visma_tpu.render.raster import MultiMeshRenderer
+from visma_tpu.semantic.cem import refine_pose_cem_batched
 
 
 @dataclass
@@ -50,17 +62,11 @@ class SemanticMapper:
         self.retrieval_yaws = retrieval_yaws
         self.azimuth_prior_weight = azimuth_prior_weight
         self.tracks: Dict[int, ObjectTrack] = {}
-        self._renderers: Dict[str, Renderer] = {}
+        self.mrenderer = MultiMeshRenderer(intr, capacity=128)
+        if mesh_db:
+            self.mrenderer.set_meshes(mesh_db)
         self._next_id = 0
         self.history: List[List[dict]] = []
-
-    def _renderer(self, name: str) -> Renderer:
-        if name not in self._renderers:
-            r = Renderer(self.intr, capacity=128)
-            V, F = self.mesh_db[name]
-            r.set_mesh(V, F)
-            self._renderers[name] = r
-        return self._renderers[name]
 
     def _init_pose_cm(self, bbox) -> np.ndarray:
         """Back-project the detection center at the depth prior."""
@@ -79,9 +85,9 @@ class SemanticMapper:
         vlslam.proto azimuth/shape fields). For a detection with no usable
         shape_id: score every candidate mesh (class-substring filtered)
         over a yaw sweep at the back-projected detection pose in ONE
-        batched render per mesh, with the detection's azimuth distribution
-        as a -log prior when present. Returns (name, pose_cm (4,4), score)
-        or None if the database is empty."""
+        batched render across ALL (mesh, yaw) pairs, with the detection's
+        azimuth distribution as a -log prior when present. Returns
+        (name, pose_cm (4,4), score) or None if the database is empty."""
         import jax.numpy as jnp
 
         from visma_tpu.render.likelihood import (edge_distance_transform,
@@ -117,17 +123,19 @@ class SemanticMapper:
 
         em = jnp.asarray(edge_map)
         dt = edge_distance_transform(em)
-        best = None
-        for name in cands:
-            r = self._renderer(name)
-            edges = r.render_edge(jnp.asarray(hyps, jnp.float32))
-            scores = np.asarray(symmetric_edge_score(edges, dt, em)) + prior
-            i = int(np.argmin(scores))
-            if best is None or scores[i] < best[2]:
-                T = np.eye(4)
-                T[:3, :4] = hyps[i]
-                best = (name, T, float(scores[i]))
-        return best
+        # one dispatch over all (mesh, yaw) hypotheses
+        idxs = np.array([self.mrenderer.index(n) for n in cands], np.int32)
+        Mc = len(cands)
+        poses = np.tile(hyps, (Mc, 1, 1))                      # (Mc*B,3,4)
+        mi = np.repeat(idxs, B)
+        edges = self.mrenderer.render_edge(
+            jnp.asarray(poses, jnp.float32), jnp.asarray(mi))
+        scores = np.asarray(symmetric_edge_score(edges, dt, em)).reshape(
+            Mc, B) + prior[None, :]
+        m, b = np.unravel_index(int(np.argmin(scores)), scores.shape)
+        T = np.eye(4)
+        T[:3, :4] = hyps[b]
+        return cands[m], T, float(scores[m, b])
 
     def _spawn(self, bbox, gwc: np.ndarray,
                edge_map=None) -> Optional[ObjectTrack]:
@@ -172,37 +180,37 @@ class SemanticMapper:
                 if not self._covered(bb, gwc):
                     self._spawn(bb, gwc, edge_map)
 
-        import jax.numpy as jnp
-
-        # occlusion-aware multi-object refinement: each track's hypotheses
-        # are scored against the joint z-buffer of the OTHER tracks at
-        # their current poses (front-to-back so near objects settle first)
         tracks = list(self.tracks.values())
-        depths = {}
-        for tr in tracks:
-            pose_cm = (G_cw @ tr.pose_wm)[:3, :4]
-            depths[tr.oid] = self._renderer(tr.model_name).render_depth(
-                jnp.asarray(pose_cm, jnp.float32))
-        tracks.sort(key=lambda tr: (G_cw @ tr.pose_wm)[2, 3])
+        if tracks:
+            import jax.numpy as jnp
 
-        for tr in tracks:
-            pose_cm = (G_cw @ tr.pose_wm)[:3, :4]
+            poses_cm = np.stack([(G_cw @ tr.pose_wm)[:3, :4]
+                                 for tr in tracks]).astype(np.float32)
+            mesh_idx = np.array(
+                [self.mrenderer.index(tr.model_name) for tr in tracks],
+                np.int32)
+
             occ = None
             if len(tracks) > 1:
-                occ = jnp.min(jnp.stack(
-                    [depths[o.oid] for o in tracks if o.oid != tr.oid]),
-                    axis=0)
-            refined, score = refine_pose_cem(
-                self._renderer(tr.model_name), jnp.asarray(edge_map),
-                pose_cm, iters=self.cem_iters, samples=self.cem_samples,
-                seed=tr.age, occluder_depth=occ)
-            T_cm = np.eye(4)
-            T_cm[:3, :4] = refined
-            tr.pose_wm = G @ T_cm
-            tr.score = score
-            tr.age += 1
-            depths[tr.oid] = self._renderer(tr.model_name).render_depth(
-                jnp.asarray(refined, jnp.float32))
+                # one dispatch: all current depths + per-track exclusive
+                # min over the others (occluder z-buffers)
+                occ = _exclusive_min_depths(
+                    self.mrenderer.Vs, self.mrenderer.Fs,
+                    jnp.asarray(poses_cm), jnp.asarray(mesh_idx),
+                    self.mrenderer.intr, self.mrenderer.tile,
+                    self.mrenderer.capacity, self.mrenderer.use_pallas)
+
+            refined, scores = refine_pose_cem_batched(
+                self.mrenderer, jnp.asarray(edge_map), poses_cm, mesh_idx,
+                iters=self.cem_iters, samples=self.cem_samples,
+                seed=min(tr.age for tr in tracks),
+                occluder_depths=occ)
+            for i, tr in enumerate(tracks):
+                T_cm = np.eye(4)
+                T_cm[:3, :4] = refined[i]
+                tr.pose_wm = G @ T_cm
+                tr.score = float(scores[i])
+                tr.age += 1
 
         self.history.append(self.export_packet())
 
@@ -240,3 +248,44 @@ class SemanticMapper:
     def write_result_json(self, path: str) -> None:
         with open(path, "w") as fp:
             json.dump(self.history, fp, indent=1)
+
+
+def _exclusive_min_depths(Vs, Fs, poses, mesh_idx, intr, tile, capacity,
+                          use_pallas):
+    """Render all n tracks' current depths and return, per track, the min
+    depth over the OTHER tracks (+inf background) — one dispatch."""
+    import functools
+
+    return _exclusive_min_depths_jit(
+        Vs, Fs, poses, mesh_idx, intr=intr, tile=tile, capacity=capacity,
+        use_pallas=use_pallas)
+
+
+def _make_exclusive_min():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from visma_tpu.render.raster import (rasterize_depth,
+                                         rasterize_depth_chunked_multi)
+
+    @functools.partial(jax.jit, static_argnames=("intr", "tile", "capacity",
+                                                 "use_pallas"))
+    def run(Vs, Fs, poses, mesh_idx, intr, tile, capacity, use_pallas):
+        if use_pallas:
+            d = rasterize_depth_chunked_multi(Vs, Fs, poses, mesh_idx,
+                                              intr, tile)
+        else:
+            d = jax.vmap(
+                lambda m, p: rasterize_depth(Vs[m], Fs[m], p, intr, tile,
+                                             capacity))(mesh_idx, poses)
+        n = d.shape[0]
+        mask = ~jnp.eye(n, dtype=bool)                       # (n,n)
+        dd = jnp.where(mask[:, :, None, None], d[None], jnp.inf)
+        return jnp.min(dd, axis=1)                           # (n,H,W)
+
+    return run
+
+
+_exclusive_min_depths_jit = _make_exclusive_min()
