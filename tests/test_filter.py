@@ -299,3 +299,47 @@ class TestEndToEnd:
         ate_dr = ate_rmse(np.asarray(ps), gwc[:, :, 3])
         assert ate_f < ate_dr * 0.5, (ate_f, ate_dr)
         assert ate_f < 0.1, ate_f
+
+
+class TestHealthGate:
+    """Jitted finite-check + structured divergence abort (SURVEY §5
+    sanitizer row; VERDICT r1 item 9)."""
+
+    def _run(self, poison_frame=None):
+        from visma_tpu.io.synthetic import (SyntheticConfig, make_dataset,
+                                            make_imu)
+        from visma_tpu.filter.feed import pack_frames
+
+        syn = SyntheticConfig(num_frames=12)
+        cfg = FilterConfig(window=6, max_tracks=32, max_updates=8,
+                           fx=syn.fx, fy=syn.fy, cx=syn.cx, cy=syn.cy)
+        ds = make_dataset(syn)
+        imu = make_imu(syn)
+        frames = {k: np.asarray(v)
+                  for k, v in pack_frames(cfg, ds, imu, max_feats=32).items()
+                  if k != "ts"}
+        if poison_frame is not None:
+            frames["accel"][poison_frame] = np.nan
+        kf = Msckf(cfg)
+        s0 = kf.init(v0=imu["v0"])
+        frames = {k: jnp.asarray(v) for k, v in frames.items()}
+        return kf.run(s0, frames)
+
+    def test_healthy_run_passes(self):
+        from visma_tpu.filter.msckf import check_health
+
+        _, outs = self._run()
+        assert np.asarray(outs["healthy"]).all()
+        check_health(outs)  # no raise
+
+    def test_divergence_aborts_with_frame_index(self):
+        from visma_tpu.filter.msckf import check_health
+        from visma_tpu.utils.misc import DivergenceError
+
+        _, outs = self._run(poison_frame=5)
+        healthy = np.asarray(outs["healthy"])
+        assert not healthy[5:].any()
+        assert healthy[:5].all()
+        with pytest.raises(DivergenceError) as ei:
+            check_health(outs)
+        assert ei.value.frame == 5

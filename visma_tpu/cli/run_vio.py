@@ -35,6 +35,9 @@ def main(argv=None):
     ap.add_argument("--pixel-noise", type=float, default=0.5)
     ap.add_argument("--no-imu", action="store_true",
                     help="vision-only mode (constant-velocity prior)")
+    ap.add_argument("--profile", default=None, metavar="LOGDIR",
+                    help="emit a jax.profiler trace to LOGDIR plus a "
+                         "host-side Timer report")
     args = ap.parse_args(argv)
 
     from visma_tpu.utils.platform import configure_platform
@@ -98,7 +101,24 @@ def main(argv=None):
               if k != "ts"}
     kf = Msckf(cfg)
     s0 = kf.init(R0=R0, p0=p0, v0=v0)
-    final, outs = kf.run(s0, frames)
+
+    from visma_tpu.filter.msckf import check_health
+    from visma_tpu.utils.timer import Timer, device_trace
+
+    timer = Timer()
+    if args.profile:
+        timer.tick("vio_scan")
+        with device_trace(args.profile):
+            final, outs = kf.run(s0, frames)
+            outs = {k: np.asarray(v) for k, v in outs.items()}
+        timer.tock("vio_scan")
+        print(f"profiler trace written to {args.profile}")
+        print(timer)
+    else:
+        final, outs = kf.run(s0, frames)
+    # health gate: abort with a structured error on divergence instead of
+    # exporting NaN poses
+    check_health(outs)
 
     p_est = np.asarray(outs["p"])
     ate = float(np.sqrt(np.mean(np.sum((p_est - ref_p) ** 2, axis=1))))

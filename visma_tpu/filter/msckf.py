@@ -17,6 +17,20 @@ from visma_tpu.filter.imu import propagate, propagate_cv
 from visma_tpu.filter.state import FilterState, TrackTable, init_state
 from visma_tpu.filter.update import msckf_update
 from visma_tpu.proto import FeatureStatus
+from visma_tpu.utils.misc import DivergenceError, finite_tree
+
+
+def check_health(outs: Dict[str, jnp.ndarray]) -> None:
+    """Host-side gate on Msckf.run / VioPipeline.run outputs: raise a
+    structured DivergenceError naming the FIRST non-finite frame instead
+    of silently exporting NaN poses (SURVEY §5; VERDICT r1 item 9)."""
+    import numpy as np
+
+    healthy = np.asarray(outs.get("healthy", np.asarray(True)))
+    if healthy.all():
+        return
+    first = int(np.argmin(healthy))  # first False
+    raise DivergenceError(first)
 
 
 def _augment(cfg: FilterConfig, state: FilterState,
@@ -207,6 +221,11 @@ class Msckf:
                     "feat_status": s.tracks.status,
                     "feat_ids": s.tracks.ids,
                     "feat_xw": s.tracks.xw,
+                    # jitted health gate (SURVEY §5 sanitizer row): an
+                    # all-finite reduction over the core state rides along
+                    # per frame; hosts gate on it via check_health()
+                    "healthy": finite_tree((s.R, s.p, s.v, s.bg, s.ba,
+                                            s.P)),
                 }
                 if cfg.num_slam:
                     out["lm_ids"] = s.lm_ids

@@ -83,10 +83,15 @@ class VioPipeline:
         Returns (final PipelineState, {"R" (N,3,3), "p" (N,3)}).
         """
         if self._run_jit is None:
+            from visma_tpu.utils.misc import finite_tree
+
             def scan_fn(s, fr):
                 s2 = self._step_fn(s, fr["image"], fr["gyro"], fr["accel"],
                                    fr["dts"])
-                return s2, {"R": s2.filter.R, "p": s2.filter.p}
+                f = s2.filter
+                return s2, {"R": f.R, "p": f.p,
+                            "healthy": finite_tree((f.R, f.p, f.v, f.bg,
+                                                    f.ba, f.P))}
 
             @jax.jit
             def run_jit(state, images, gyro, accel, dts):

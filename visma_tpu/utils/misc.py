@@ -28,6 +28,34 @@ def any_nan(x) -> bool:
                and jnp.issubdtype(leaf.dtype, jnp.floating))
 
 
+def finite_tree(x) -> jnp.ndarray:
+    """Traceable all-finite reduction over a pytree's float leaves: one
+    scalar bool, usable INSIDE jit/scan (the jitted health gate of
+    SURVEY §5 — `any_nan` above is the host-side variant, this one rides
+    along with the computation at ~zero cost)."""
+    import jax
+
+    flags = [jnp.all(jnp.isfinite(leaf))
+             for leaf in jax.tree_util.tree_leaves(x)
+             if hasattr(leaf, "dtype")
+             and jnp.issubdtype(leaf.dtype, jnp.floating)]
+    if not flags:
+        return jnp.asarray(True)
+    return jnp.stack(flags).all()
+
+
+class DivergenceError(RuntimeError):
+    """Filter state went non-finite. Carries the first bad frame index so
+    callers can recover from the last healthy checkpoint instead of
+    exporting NaN poses."""
+
+    def __init__(self, frame: int, detail: str = ""):
+        self.frame = int(frame)
+        super().__init__(
+            f"filter state non-finite at frame {frame}"
+            + (f" ({detail})" if detail else ""))
+
+
 def bilinear_sample(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     """Bilinear sample img (H,W) at (...,2) float pixel coords."""
     H, W = img.shape
