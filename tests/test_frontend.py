@@ -129,3 +129,48 @@ class TestTracker:
                         assert np.linalg.norm(d - np.array([3.0, -2.0])) < 1.5
                 seen[fid] = (k, xp[i].copy())
         assert len(seen) >= 24  # replenishment created new ids over time
+
+
+class TestKltWindowedParity:
+    """The windowed matmul-selection tracker (the production TPU path)
+    must agree with the gather-based oracle implementation."""
+
+    def test_matches_gather_oracle(self):
+        """Interior features (patch fully inside the image at every
+        pyramid level) must track to the same positions. Near coarse-level
+        borders the two implementations clamp differently (the windowed
+        path rejects conservatively where the sliding-window path tracked
+        a degraded template) — excluded by the detection border."""
+        from visma_tpu.frontend.klt import track_features_gather
+
+        img0 = textured_image()
+        img1 = shift_image(img0, 3.4, -2.1)
+        p0 = tuple(build_pyramid(jnp.asarray(img0), 3))
+        p1 = tuple(build_pyramid(jnp.asarray(img1), 3))
+        # border = (r + 2) * 2^(levels-1): patches stay interior at the
+        # coarsest level too
+        xy, _, valid = detect_features(jnp.asarray(img0), 24, cell=16,
+                                       border=28)
+        new_w, ok_w = track_features(p0, p1, xy, valid)
+        new_g, ok_g = track_features_gather(p0, p1, xy, valid)
+        ok_w, ok_g = np.asarray(ok_w), np.asarray(ok_g)
+        np.testing.assert_array_equal(ok_w, ok_g)
+        both = ok_w & ok_g
+        assert both.sum() >= 8
+        np.testing.assert_allclose(np.asarray(new_w)[both],
+                                   np.asarray(new_g)[both], atol=0.05)
+
+    def test_window_margin_limits_large_motion(self):
+        """Motion beyond what coarse levels + window margin can express is
+        rejected (not silently wrong)."""
+        img0 = textured_image()
+        img1 = shift_image(img0, 60.0, 0.0)   # huge shift
+        p0 = tuple(build_pyramid(jnp.asarray(img0), 3))
+        p1 = tuple(build_pyramid(jnp.asarray(img1), 3))
+        xy, _, valid = detect_features(jnp.asarray(img0), 16, cell=16,
+                                       border=16)
+        new_xy, ok = track_features(p0, p1, xy, valid)
+        d = np.asarray(new_xy)[np.asarray(ok)] - np.asarray(xy)[np.asarray(ok)]
+        if len(d):  # any survivor must be near the true shift
+            err = np.linalg.norm(d - np.array([60.0, 0.0]), axis=1)
+            assert np.median(err) < 1.0
