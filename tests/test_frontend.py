@@ -174,3 +174,35 @@ class TestKltWindowedParity:
         if len(d):  # any survivor must be near the true shift
             err = np.linalg.norm(d - np.array([60.0, 0.0]), axis=1)
             assert np.median(err) < 1.0
+
+
+class TestDetectPallas:
+    def test_pallas_score_matches_xla(self):
+        from visma_tpu.frontend.detect import (_corner_score_xla,
+                                               corner_score_pallas)
+
+        img = jnp.asarray(textured_image())
+        ref = np.asarray(_corner_score_xla(img, 5, 8, 1e-4))
+        got = np.asarray(corner_score_pallas(img, 5, 8, 1e-4,
+                                             interpret=True))
+        np.testing.assert_allclose(got, ref, atol=1e-4 * max(1.0, ref.max()))
+
+    def test_detect_pallas_path_matches_xla(self):
+        from visma_tpu.frontend.detect import detect_features as df
+
+        img = jnp.asarray(textured_image())
+        # interpret-mode pallas full path vs xla full path
+        import visma_tpu.frontend.detect as D
+
+        orig = D.corner_score_pallas
+        try:
+            D.corner_score_pallas = lambda im, w, b, mr: orig(
+                im, w, b, mr, interpret=True)
+            xy_p, s_p, v_p = df(img, 24, cell=16, use_pallas=True)
+        finally:
+            D.corner_score_pallas = orig
+        xy_x, s_x, v_x = df(img, 24, cell=16, use_pallas=False)
+        np.testing.assert_array_equal(np.asarray(v_p), np.asarray(v_x))
+        np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x),
+                                   rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(xy_p), np.asarray(xy_x))
