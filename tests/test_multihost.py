@@ -39,6 +39,10 @@ def _worker_env(n_local_devices: int) -> dict:
     env["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count="
                         f"{n_local_devices}")
     env["JAX_PLATFORMS"] = "cpu"
+    # workers must import visma_tpu even when the package is not
+    # pip-installed (sys.path[0] of a script is ITS directory, not cwd)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(REPO)] + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else []))
     # don't inherit the test process's persistent-cache lock contention
     env.pop("JAX_COMPILATION_CACHE_DIR", None)
     return env
