@@ -40,7 +40,11 @@ def timed(name, fn, *args, reps=4):
     ts = []
     for _ in range(reps):
         t = time.time()
-        np.asarray(jax.tree_util.tree_leaves(fn_j(*args))[0])
+        # materialize EVERY leaf: block_until_ready through the axon relay
+        # can return early, and materializing only leaf[0] would under-time
+        # stages with multiple outputs (CLAUDE.md timing rule)
+        for x in jax.tree_util.tree_leaves(fn_j(*args)):
+            np.asarray(x)
         ts.append(time.time() - t)
     ms = min(ts) / (N_FRAMES - 1) * 1e3
     print(f"{name:34s} {ms:7.3f} ms/frame   reps={[round(x,3) for x in ts]}")

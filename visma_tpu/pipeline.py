@@ -39,21 +39,29 @@ class PipelineState:
 
 class VioPipeline:
     def __init__(self, cfg: FilterConfig, levels: int = 3, cell: int = 16,
-                 klt_radius: int = 5):
+                 klt_radius: int = 5, fused_klt: bool = False):
         self.cfg = cfg
         self.tracker = FeatureTracker(max_features=cfg.max_tracks,
                                       levels=levels, radius=klt_radius,
-                                      cell=cell)
+                                      cell=cell, fused=fused_klt)
         self.msckf = Msckf(cfg)
 
-        def step(state: PipelineState, image, gyro, accel, dts):
+        def step_full(state: PipelineState, image, gyro, accel, dts):
+            """Per-frame step; also returns the tracker's raw (ids, xp,
+            valid) observations so run() can record them (the BA builder
+            consumes them; ba/from_vio.py)."""
             tr_state, ids, xp, valid = self.tracker._step_impl(
                 state.tracker, image)
             frame = {"gyro": gyro, "accel": accel, "dts": dts,
                      "ids": ids, "xp": xp, "valid": valid}
             f_state = _frame_step(cfg, state.filter, frame)
-            return PipelineState(tracker=tr_state, filter=f_state)
+            return PipelineState(tracker=tr_state, filter=f_state), \
+                (ids, xp, valid)
 
+        def step(state: PipelineState, image, gyro, accel, dts):
+            return step_full(state, image, gyro, accel, dts)[0]
+
+        self._step_fn_full = step_full
         self._step_fn = step
         self._step = jax.jit(step)
         self._run_jit = None  # built lazily; cached on the instance
@@ -80,18 +88,24 @@ class VioPipeline:
         idiom applied to the image pipeline).
 
         images (N,H,W) f32; gyro/accel (N,S,3); dts (N,S).
-        Returns (final PipelineState, {"R" (N,3,3), "p" (N,3)}).
+        Returns (final PipelineState, outputs) where outputs carries the
+        shared per-frame record (_frame_outputs: R/p/feat_*/healthy) PLUS
+        the tracker's raw per-frame observations obs_ids (N,F), obs_xp
+        (N,F,2), obs_valid (N,F) — the inputs the BA refinement stage
+        rebuilds a BaProblem from (visma_tpu/ba/from_vio.py).
         """
         if self._run_jit is None:
-            from visma_tpu.utils.misc import finite_tree
+            from visma_tpu.filter.msckf import _frame_outputs
+
+            cfg = self.cfg
 
             def scan_fn(s, fr):
-                s2 = self._step_fn(s, fr["image"], fr["gyro"], fr["accel"],
-                                   fr["dts"])
-                f = s2.filter
-                return s2, {"R": f.R, "p": f.p,
-                            "healthy": finite_tree((f.R, f.p, f.v, f.bg,
-                                                    f.ba, f.P))}
+                s2, (ids, xp, valid) = self._step_fn_full(
+                    s, fr["image"], fr["gyro"], fr["accel"], fr["dts"])
+                out = _frame_outputs(cfg, s2.filter)
+                out.update({"obs_ids": ids, "obs_xp": xp,
+                            "obs_valid": valid})
+                return s2, out
 
             @jax.jit
             def run_jit(state, images, gyro, accel, dts):
@@ -106,9 +120,12 @@ class VioPipeline:
 
 def export_packets(cfg: FilterConfig, outs: Dict[str, np.ndarray],
                    ts: np.ndarray):
-    """Convert Msckf.run outputs into vlslam Packets (gwc + features with
-    status + world points), reproducing the reference wire conventions
-    (row-major 3x4 gwc; wg zero for a gravity-aligned world frame)."""
+    """Convert Msckf.run / VioPipeline.run outputs into vlslam Packets
+    (gwc + features with status, pixel observation, and world point),
+    reproducing the reference wire conventions (row-major 3x4 gwc; wg zero
+    for a gravity-aligned world frame). Feature.xp is the track's last
+    observed pixel (dataloader.cpp:166-194 pairs xp with camera-frame
+    depth, so a written dataset is consumable with reference semantics)."""
     from visma_tpu.proto import Feature, FeatureStatus, Packet
 
     N = len(ts)
@@ -121,10 +138,12 @@ def export_packets(cfg: FilterConfig, outs: Dict[str, np.ndarray],
         ids = np.asarray(outs["feat_ids"][i])
         status = np.asarray(outs["feat_status"][i])
         xw = np.asarray(outs["feat_xw"][i])
+        xp = np.asarray(outs["feat_xp"][i])
         for k in np.nonzero(ids >= 0)[0]:
             feats.append(Feature(id=int(ids[k]),
                                  status=FeatureStatus(int(status[k])),
-                                 xp=np.zeros(2), xw=xw[k].astype(np.float64)))
+                                 xp=xp[k].astype(np.float64),
+                                 xw=xw[k].astype(np.float64)))
         packets.append(Packet(ts=float(ts[i]), gwc=gwc.reshape(-1),
                               features=feats, wg=np.zeros(2)))
     return packets
