@@ -176,6 +176,122 @@ class TestKltWindowedParity:
             assert np.median(err) < 1.0
 
 
+class TestKltFused:
+    """The fused Pallas LK (klt_fused.track_features_fused) must match the
+    windowed-matmul production tracker for interior features. Kernel runs
+    in interpret mode on CPU (no TPU in CI)."""
+
+    def _setup(self, dx=3.4, dy=-2.1, border=28):
+        img0 = textured_image()
+        img1 = shift_image(img0, dx, dy)
+        p0 = tuple(build_pyramid(jnp.asarray(img0), 3))
+        p1 = tuple(build_pyramid(jnp.asarray(img1), 3))
+        xy, _, valid = detect_features(jnp.asarray(img0), 24, cell=16,
+                                       border=border)
+        return p0, p1, xy, valid
+
+    def test_f32_matches_windowed_tracker(self):
+        from visma_tpu.frontend.klt_fused import track_features_fused
+
+        p0, p1, xy, valid = self._setup()
+        # win=40 matches klt.track_features' refinement margin so the two
+        # paths see the same clamp-free interior problem
+        new_f, ok_f = track_features_fused(p0, p1, xy, valid, win=40,
+                                           interpret=True)
+        new_w, ok_w = track_features(p0, p1, xy, valid)
+        ok_f, ok_w = np.asarray(ok_f), np.asarray(ok_w)
+        both = ok_f & ok_w
+        assert both.sum() >= 8
+        # every windowed-accepted interior feature is fused-accepted
+        assert (ok_f | ~ok_w).all()
+        np.testing.assert_allclose(np.asarray(new_f)[both],
+                                   np.asarray(new_w)[both], atol=0.05)
+
+    def test_recovers_known_shift_default_window(self):
+        from visma_tpu.frontend.klt_fused import track_features_fused
+
+        dx, dy = 4.2, 2.7
+        p0, p1, xy, valid = self._setup(dx, dy)
+        new_xy, ok = track_features_fused(p0, p1, xy, valid,
+                                          interpret=True)
+        ok = np.asarray(ok)
+        assert ok.sum() >= 8
+        d = np.asarray(new_xy)[ok] - np.asarray(xy)[ok]
+        err = np.linalg.norm(d - np.array([dx, dy]), axis=1)
+        assert np.median(err) < 0.25, np.median(err)
+
+    def test_bf16_extract_close_to_f32(self):
+        from visma_tpu.frontend.klt_fused import track_features_fused
+
+        p0, p1, xy, valid = self._setup()
+        new_f, ok_f = track_features_fused(p0, p1, xy, valid,
+                                           interpret=True)
+        new_b, ok_b = track_features_fused(p0, p1, xy, valid,
+                                           interpret=True,
+                                           bf16_extract=True)
+        both = np.asarray(ok_f) & np.asarray(ok_b)
+        assert both.sum() >= 8
+        # bf16 selection rounds the image to 8 mantissa bits; subpixel
+        # positions stay within a tenth of a pixel of the f32 path
+        np.testing.assert_allclose(np.asarray(new_b)[both],
+                                   np.asarray(new_f)[both], atol=0.1)
+
+    def test_small_window_raises(self):
+        from visma_tpu.frontend.klt_fused import lk_level_fused
+
+        K = 8
+        wins = jnp.zeros((8, 8, K))
+        st = jnp.zeros((2, K))
+        with pytest.raises(ValueError, match="too small"):
+            lk_level_fused(wins, wins, st, st, radius=5, interpret=True)
+
+    def test_tiny_levels_skipped_not_corrupted(self):
+        """A pyramid whose coarse level cannot host the patch window must
+        still track (refinement skipped there, not clamp-extrapolated)."""
+        from visma_tpu.frontend.klt_fused import track_features_fused
+
+        img0 = textured_image(48, 64)
+        img1 = shift_image(img0, 2.0, 1.5)
+        p0 = tuple(build_pyramid(jnp.asarray(img0), 3))  # level 2: 12x16
+        p1 = tuple(build_pyramid(jnp.asarray(img1), 3))
+        xy, _, valid = detect_features(jnp.asarray(img0), 8, cell=16,
+                                       border=12)
+        new_xy, ok = track_features_fused(p0, p1, xy, valid, radius=5,
+                                          interpret=True)
+        ok = np.asarray(ok)
+        assert ok.sum() >= 2
+        d = np.asarray(new_xy)[ok] - np.asarray(xy)[ok]
+        err = np.linalg.norm(d - np.array([2.0, 1.5]), axis=1)
+        assert np.median(err) < 0.3, np.median(err)
+
+    def test_tracker_fused_flag(self):
+        """FeatureTracker(fused=True) runs the fused path end-to-end."""
+        import visma_tpu.frontend.klt_fused as KF
+
+        orig = KF.track_features_fused
+        calls = []
+
+        def spy(*a, **k):
+            k["interpret"] = True
+            calls.append(1)
+            return orig(*a, **k)
+
+        import visma_tpu.frontend.tracker as TR
+
+        old = TR.track_features_fused
+        try:
+            TR.track_features_fused = spy
+            tr = FeatureTracker(max_features=16, cell=16, fused=True)
+            img0 = textured_image(seed=3)
+            st = tr.init(jnp.asarray(img0))
+            img1 = shift_image(img0, 2.0, 1.0)
+            st, ids, xp, valid = tr._step_impl(st, jnp.asarray(img1))
+        finally:
+            TR.track_features_fused = old
+        assert calls, "fused path not taken"
+        assert int(np.asarray(valid).sum()) >= 8
+
+
 class TestDetectPallas:
     def test_pallas_score_matches_xla(self):
         from visma_tpu.frontend.detect import (_corner_score_xla,

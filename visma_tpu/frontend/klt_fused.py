@@ -33,10 +33,22 @@ against klt.track_features and run the kernel in interpret mode on CPU.
 
 Semantics match klt.track_features for interior features; near image
 borders the clamped template (floor- vs round-based origins) may differ
-— both paths reject such features via the residual/FB gates. Reference
-for the tracking contract: the dataset's tracklets (vlslam.proto:21-36)
-are produced by exactly this kind of pyramidal-LK frontend upstream of
-feixh/VISMA (SURVEY.md section 2.2 item 9).
+— both paths reject such features via the residual/FB gates. Documented
+divergence (deliberate): the default window is win=24 (vs 40 for
+klt.track_features), i.e. a per-level refinement margin of ~6 px instead
+of ~14 px on top of the coarse-to-fine guess — the fused kernel holds
+both (win, win, K) window stacks in VMEM and runs `win-m+1` static hat
+taps per sample, so the smaller window IS its perf point. Fast motions
+beyond the margin clamp-sample at the window edge and are rejected by
+the residual/FB gates (not silently wrong); pass win=40 for the full
+margin. Pyramid levels too small to host a (2r+4) patch window are
+skipped (no refinement at that level) rather than clamp-extrapolated.
+tests/test_frontend.py::TestKltFused pins the f32 path against
+klt.track_features and runs the kernel in interpret mode on CPU.
+
+Reference for the tracking contract: the dataset's tracklets
+(vlslam.proto:21-36) are produced by exactly this kind of pyramidal-LK
+frontend upstream of feixh/VISMA (SURVEY.md section 2.2 item 9).
 """
 from __future__ import annotations
 
@@ -168,6 +180,12 @@ def lk_level_fused(winsT, winsI, stT, sI0, radius: int = 5, iters: int = 8,
     """Run the fused LK level kernel. winsT/winsI (win, win, K) f32;
     stT/sI0 (2, K). Returns (u (2, K), res (K,), ok (K,) bool)."""
     win, _, K = winsT.shape
+    if win < 2 * radius + 4:
+        # the kernel samples an (m+2, m+2) padded patch with +-1-px
+        # clamped shifts; below this the start clamp inverts (hi < lo)
+        raise ValueError(
+            f"window {win} too small for radius {radius}: need "
+            f"win >= 2*radius+4 = {2 * radius + 4}")
     u, stat = pl.pallas_call(
         functools.partial(_lk_level_kernel, radius=radius, iters=iters),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
@@ -202,6 +220,11 @@ def track_features_fused(prev_pyr, cur_pyr, pts: jnp.ndarray,
         scale = 2.0 ** lv
         Hl, Wl = prev_pyr[lv].shape
         wl = min(win, Hl - Hl % 8 or Hl, Wl - Wl % 8 or Wl)
+        if wl < 2 * r + 4:
+            if lv == 0:
+                raise ValueError(
+                    f"level-0 window {wl} too small for radius {r}")
+            continue  # level too small to host the patch: skip refinement
         pts_l = pts / scale
         est = pts_l + d / scale
         winsP, orgP = _extract_windows_klast(prev_pyr[lv], pts_l, wl, edt)
