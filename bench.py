@@ -2,7 +2,8 @@
 
 Prints ONE JSON line:
   {"metric": "pipeline_frames_per_sec_per_chip_500x960", "value": N,
-   "unit": "frames/s", "vs_baseline": R}
+   "unit": "frames/s", "vs_baseline": R, "imagery": "adversarial",
+   "ate_cm": ..., "semantic": {...}}
 
 The metric is the FLAGSHIP pipeline at VISMA image geometry — synthetic
 500x960 images + IMU -> trajectory through VioPipeline.run: image pyramid,
@@ -14,6 +15,20 @@ pre-packed feature tracks). Image geometry matches the reference's
 undistorted output (500x960, example/undistort_images.cpp:22-28) with the
 generate_depthmaps intrinsics (fx=486.405 fy=535.401 cx=469.199
 cy=257.916, example/generate_depthmaps.cpp:9-17).
+
+Since r3 the imagery is ADVERSARIAL (VERDICT r2 item 4): sensor noise,
+geometrically-consistent textured background, photometric drift, and two
+textured occluder sweeps (io/synthetic_images.render_adversarial_frames);
+the ATE gate is unchanged. The pipeline's compute is fixed-shape, so
+throughput stays comparable with BENCH_r02 — the imagery hardens the
+ACCURACY side of the metric.
+
+The same JSON line carries a `semantic` sub-metric (VERDICT r2 item 2):
+the multi-object semantic mapper (4 objects, 500x960, CEM over batched
+MultiMeshRenderer edge-likelihood renders) in absolute frames/s with
+object translation/rotation error gates vs the synthetic GT poses —
+the measured replacement for the reference's per-hypothesis GL render
+loop (renderer.cpp:321-400).
 
 The reference publishes no throughput numbers (BASELINE.md), so
 vs_baseline normalizes against the VISMA camera's 30 frames/s capture
@@ -46,7 +61,7 @@ def bench_pipeline():
     from visma_tpu.filter import FilterConfig
     from visma_tpu.filter.msckf import check_health
     from visma_tpu.io.synthetic import SyntheticConfig, make_imu
-    from visma_tpu.io.synthetic_images import render_blob_frames
+    from visma_tpu.io.synthetic_images import render_adversarial_frames
     from visma_tpu.pipeline import VioPipeline
 
     syn = SyntheticConfig(num_frames=N_FRAMES, num_landmarks=240,
@@ -58,7 +73,7 @@ def bench_pipeline():
                        pixel_noise=1.0)
 
     t0 = time.time()
-    frames, gwc, X = render_blob_frames(syn)
+    frames, gwc, X = render_adversarial_frames(syn)
     imu = make_imu(syn)
     spf = imu["samples_per_frame"]
     dt = float(np.diff(imu["ts_state"])[0])
@@ -107,6 +122,101 @@ def bench_pipeline():
     log(f"pipeline throughput (best): {fps:.1f} frames/s "
         f"({dt_best / N * 1e3:.2f} ms/frame)")
     return fps, ate
+
+
+def bench_semantic(m_objects=4, n_frames=12, cem_iters=4, cem_samples=32):
+    """Multi-object semantic mapping at VISMA geometry: M objects tracked
+    jointly by CEM over batched MultiMeshRenderer renders (the TPU-native
+    replacement for the reference's one-hypothesis-per-GL-draw loop,
+    renderer.cpp:321-400). Returns (fps, mean_trans_err_m,
+    mean_rot_err_deg)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from scipy.spatial.transform import Rotation
+
+    from visma_tpu.cli.run_semantic import _demo_meshes
+    from visma_tpu.image.edges import depth_edge
+    from visma_tpu.render import Intrinsics
+    from visma_tpu.semantic import SemanticMapper
+    from visma_tpu.semantic.mapper import ObjectTrack
+
+    intr = Intrinsics(fx=486.405, fy=535.401, cx=469.199, cy=257.916,
+                      rows=500, cols=960, z_near=0.05, z_far=5.0)
+    db = _demo_meshes()
+    names = (["lchair", "box"] * ((m_objects + 1) // 2))[:m_objects]
+    rng = np.random.default_rng(3)
+
+    # GT object poses: spread across the view, gravity-aligned yaw
+    T_gt = []
+    for k in range(m_objects):
+        T = np.eye(4)
+        T[:3, :3] = Rotation.from_euler("y", rng.uniform(-0.6, 0.6)
+                                        ).as_matrix()
+        T[:3, 3] = [(-0.75 + 1.5 * k / max(m_objects - 1, 1)),
+                    rng.uniform(-0.1, 0.1), 2.0 + 0.3 * (k % 2)]
+        T_gt.append(T)
+
+    mapper = SemanticMapper(intr, db, cem_iters=cem_iters,
+                            cem_samples=cem_samples)
+    mesh_idx = np.array([mapper.mrenderer.index(n) for n in names],
+                       np.int32)
+
+    # per-frame GT edges from our own renderer (camera strafes slowly)
+    def gwc_at(i):
+        return np.hstack([np.eye(3),
+                          np.array([[0.015 * i], [0.0], [0.0]])])
+
+    t0 = time.time()
+    edge_frames = []
+    for i in range(n_frames):
+        G = np.eye(4)
+        G[:3, :4] = gwc_at(i)
+        G_cw = np.linalg.inv(G)
+        poses_cm = np.stack([(G_cw @ T)[:3, :4] for T in T_gt]
+                            ).astype(np.float32)
+        d = mapper.mrenderer.render_depth(jnp.asarray(poses_cm),
+                                          jnp.asarray(mesh_idx))
+        edge_frames.append(np.asarray(depth_edge(jnp.min(d, axis=0))))
+    log(f"semantic: rendered {n_frames} GT edge frames in "
+        f"{time.time() - t0:.1f}s")
+
+    # seed tracks at perturbed GT poses (the refinement workload)
+    for k in range(m_objects):
+        T0 = T_gt[k].copy()
+        T0[:3, 3] += rng.uniform(-0.08, 0.08, 3)
+        T0[:3, :3] = T0[:3, :3] @ Rotation.from_euler(
+            "y", rng.uniform(-0.12, 0.12)).as_matrix()
+        mapper.tracks[k] = ObjectTrack(oid=k, model_name=names[k],
+                                       pose_wm=T0)
+    mapper._next_id = m_objects
+
+    warmup = 2
+    t0 = time.time()
+    for i in range(warmup):
+        mapper.step(gwc_at(i), edge_frames[i])
+    log(f"semantic: warmup (compile) {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    for i in range(warmup, n_frames):
+        mapper.step(gwc_at(i), edge_frames[i])
+    dt = time.time() - t0
+    fps = (n_frames - warmup) / dt
+
+    terr, rerr = [], []
+    for k in range(m_objects):
+        T = mapper.tracks[k].pose_wm
+        terr.append(float(np.linalg.norm(T[:3, 3] - T_gt[k][:3, 3])))
+        rerr.append(float(np.degrees(Rotation.from_matrix(
+            T[:3, :3] @ T_gt[k][:3, :3].T).magnitude())))
+    t_mean, r_mean = float(np.mean(terr)), float(np.mean(rerr))
+    log(f"semantic: {m_objects} objects, {fps:.2f} frames/s "
+        f"({dt / (n_frames - warmup) * 1e3:.0f} ms/frame), "
+        f"trans err {[round(x, 3) for x in terr]} m, "
+        f"rot err {[round(x, 1) for x in rerr]} deg")
+    # accuracy gates: the speed is of a WORKING mapper
+    assert t_mean < 0.10, f"semantic trans gate failed: {t_mean:.3f} m"
+    assert r_mean < 12.0, f"semantic rot gate failed: {r_mean:.1f} deg"
+    return fps, t_mean, r_mean
 
 
 def bench_filter_only():
@@ -161,6 +271,21 @@ def main():
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
 
     fps, ate = bench_pipeline()
+
+    semantic = None
+    try:
+        sem_fps, sem_t, sem_r = bench_semantic()
+        semantic = {
+            "metric": "semantic_mapping_frames_per_sec_4obj_500x960",
+            "value": round(sem_fps, 2),
+            "unit": "frames/s",
+            "object_trans_err_m": round(sem_t, 4),
+            "object_rot_err_deg": round(sem_r, 2),
+        }
+    except Exception as e:  # sub-metric must not sink the headline
+        log(f"semantic bench failed: {e}")
+        semantic = {"error": str(e)[:200]}
+
     try:
         bench_filter_only()
     except Exception as e:  # secondary metric must not fail the bench
@@ -171,6 +296,9 @@ def main():
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 2),
+        "imagery": "adversarial",
+        "ate_cm": round(ate * 100, 2),
+        "semantic": semantic,
     }))
 
 

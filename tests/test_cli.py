@@ -1,6 +1,7 @@
 """In-process CLI smoke tests (mains called with argv; CPU via conftest)."""
 import json
 import os
+import pathlib
 
 import numpy as np
 import pytest
@@ -152,6 +153,54 @@ def test_visualize(seq, tmp_path):
 
     main([seq, "--output", str(tmp_path / "scene.png")])
     assert os.path.exists(tmp_path / "scene.png")
+
+
+def test_visualize_animate(seq, tmp_path):
+    """--animate exports per-frame overlay renders through the repo's own
+    rasterizer (the headless replacement for VisualizeResult's live
+    window, visualization.cpp:226-313): object edges at per-frame camera
+    poses + feature dots, one PNG per frame."""
+    import cv2
+    import numpy as np
+
+    from visma_tpu.cli.visualize import main
+    from tests.test_eval import cube_mesh
+
+    # CAD database: one cube written as OBJ
+    cad = tmp_path / "cad"
+    cad.mkdir()
+    V, F = cube_mesh(0.6)
+    with open(cad / "cube.obj", "w") as fp:
+        for v in V:
+            fp.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for f in F:
+            fp.write(f"f {f[0] + 1} {f[1] + 1} {f[2] + 1}\n")
+
+    # result.json: the cube 2.5 m ahead of the first camera
+    from visma_tpu.io import VlslamDatasetLoader
+
+    loader = VlslamDatasetLoader(seq)
+    G = np.eye(4)
+    G[:3, :4] = loader.pose(0)
+    T_wm = G @ np.array([[1.0, 0, 0, 0], [0, 1, 0, 0],
+                         [0, 0, 1, 2.5], [0, 0, 0, 1]])
+    packet = [{"id": 0, "model_name": "cube", "status": 2,
+               "model_pose": [float(x) for x in T_wm[:3, :4].ravel()]}]
+    (pathlib.Path(seq) / "result.json").write_text(json.dumps([packet]))
+
+    out = tmp_path / "anim"
+    main([seq, "--cad-root", str(cad), "--output",
+          str(tmp_path / "scene.png"), "--animate", str(out),
+          "--max-frames", "3"])
+    pngs = sorted(out.glob("overlay_*.png"))
+    assert len(pngs) == 3
+    img = cv2.imread(str(pngs[0]))
+    assert img is not None and img.shape[2] == 3
+    # the object's rendered edges must have painted colored pixels
+    # (overlay color differs across channels; the gray base image doesn't)
+    colored = (np.abs(img.astype(int)[:, :, 2] - img.astype(int)[:, :, 0])
+               > 40).sum()
+    assert colored > 50, colored
 
 
 def test_load_mesh_database(tmp_path):

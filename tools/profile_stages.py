@@ -117,7 +117,23 @@ def main():
         return jax.lax.scan(
             f, (st0.tracker.pyr, st0.tracker.pos, st0.tracker.ids >= 0),
             images)[1]
-    timed("pyramid + KLT", pyr_klt, st0, d_images)
+    timed("pyramid + KLT (windowed)", pyr_klt, st0, d_images)
+
+    # --- pyramid + fused-Pallas KLT (the TPU default since r3) ---
+    from visma_tpu.frontend.klt_fused import track_features_fused
+
+    def pyr_klt_fused(st0, images):
+        def f(carry, img):
+            prev_pyr, pos, valid = carry
+            cur_pyr = tuple(build_pyramid(img, LEVELS))
+            new_pos, ok = track_features_fused(prev_pyr, cur_pyr, pos,
+                                               valid, radius=tr.radius,
+                                               levels=LEVELS)
+            return (cur_pyr, new_pos, ok), new_pos
+        return jax.lax.scan(
+            f, (st0.tracker.pyr, st0.tracker.pos, st0.tracker.ids >= 0),
+            images)[1]
+    timed("pyramid + KLT (fused pallas)", pyr_klt_fused, st0, d_images)
 
     # --- full tracker step (pyr + KLT + detect + replenish) ---
     def tracker_only(st0, images):

@@ -1,9 +1,12 @@
 """Run the MSCKF VIO over a sequence and report ATE
 (new capability — the engine the reference dataset presumes; BASELINE
-config 3). Two modes:
+config 3). Three modes:
 
   feature-feed: consume a vlslam `dataset` (feature tracks as the Corvis
     frontend produced them) + an IMU npz {ts, gyro, accel};
+  image-frontend (--images): run the FULL pipeline on the sequence's PNG
+    frames — pyramid, KLT, detection, filter — ignoring the dataset's
+    packed feature tracks (they become the comparison, not the input);
   synthetic: generate a sequence on the fly (--synthetic N frames).
 
 --no-imu runs the vision-only fallback (constant-velocity process model,
@@ -35,6 +38,18 @@ def main(argv=None):
     ap.add_argument("--pixel-noise", type=float, default=0.5)
     ap.add_argument("--no-imu", action="store_true",
                     help="vision-only mode (constant-velocity prior)")
+    ap.add_argument("--images", action="store_true",
+                    help="image-frontend mode: run the full pipeline on "
+                         "the sequence's PNG frames instead of its packed "
+                         "feature tracks")
+    ap.add_argument("--levels", type=int, default=3,
+                    help="image pyramid levels (--images mode)")
+    ap.add_argument("--cell", type=int, default=32,
+                    help="detection grid cell in px (--images mode)")
+    ap.add_argument("--fused-klt", choices=("auto", "on", "off"),
+                    default="auto",
+                    help="fused Pallas LK kernel (--images mode; auto = "
+                         "fused on TPU, windowed elsewhere)")
     ap.add_argument("--ba", choices=("off", "dense", "sharded"),
                     default="off",
                     help="batch BA trajectory refinement after the filter "
@@ -105,30 +120,97 @@ def main(argv=None):
             dt0 = max(ds.packets[1].ts - ds.packets[0].ts, 1e-6)
             v0 = (ref_p[1] - ref_p[0]) / dt0
 
-    frames = {k: jnp.asarray(v)
-              for k, v in pack_frames(cfg, ds, imu,
-                                      max_feats=args.max_tracks).items()
-              if k != "ts"}
-    kf = Msckf(cfg)
-    s0 = kf.init(R0=R0, p0=p0, v0=v0)
-
     from visma_tpu.filter.msckf import check_health
     from visma_tpu.utils.timer import Timer, device_trace
 
     timer = Timer()
-    if args.profile:
-        timer.tick("vio_scan")
-        with device_trace(args.profile):
-            final, outs = kf.run(s0, frames)
-            outs = {k: np.asarray(v) for k, v in outs.items()}
-        timer.tock("vio_scan")
-        print(f"profiler trace written to {args.profile}")
-        print(timer)
+    if args.images:
+        # ---- image-frontend mode: images -> tracker -> filter ----------
+        from visma_tpu.pipeline import VioPipeline
+
+        if args.synthetic:
+            from visma_tpu.io.synthetic_images import render_blob_frames
+
+            images = render_blob_frames(syn)[0]
+            ts = np.arange(syn.num_frames) / syn.fps
+        else:
+            import cv2
+
+            imgs = []
+            for i in range(len(loader)):
+                fr = loader.grab(i)
+                img = fr.image
+                if img.ndim == 3:
+                    img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+                imgs.append(img.astype(np.float32))
+            images = np.stack(imgs)
+            ts = np.asarray([pk.ts for pk in ds.packets], np.float64)
+            # VISMA stamps are microseconds (filenames like
+            # 1520535134297896); normalize to seconds for the filter
+            if np.median(np.diff(ts)) > 1.0:
+                ts = ts * 1e-6
+        N = len(images)
+        S = cfg.imu_per_frame
+        gyro = np.zeros((N - 1, S, 3), np.float32)
+        accel = np.zeros((N - 1, S, 3), np.float32)
+        dts = np.zeros((N - 1, S), np.float32)
+        if imu is None:
+            dts[:, -1] = np.diff(ts)
+        else:
+            packed = pack_frames(cfg, ds, imu, max_feats=args.max_tracks)
+            gyro = packed["gyro"][1:]
+            accel = packed["accel"][1:]
+            dts = packed["dts"][1:]
+        if args.no_imu and not args.synthetic:
+            dt0 = max(float(ts[1] - ts[0]), 1e-6)
+            v0 = (ref_p[1] - ref_p[0]) / dt0
+
+        fused = {"auto": None, "on": True, "off": False}[args.fused_klt]
+        pipe = VioPipeline(cfg, levels=args.levels, cell=args.cell,
+                           fused_klt=fused)
+        st0 = pipe.init(jnp.asarray(images[0]), R0=R0, p0=p0, v0=v0)
+        if args.profile:
+            timer.tick("pipeline_scan")
+            with device_trace(args.profile):
+                final, outs = pipe.run(st0, images[1:], gyro, accel, dts)
+                outs = {k: np.asarray(v) for k, v in outs.items()}
+            timer.tock("pipeline_scan")
+            print(f"profiler trace written to {args.profile}")
+            print(timer)
+        else:
+            final, outs = pipe.run(st0, images[1:], gyro, accel, dts)
+        check_health(outs)
+        # frame 0 initializes the pipeline; outputs cover frames 1..N-1
+        ref_p = ref_p[1:]
+        ts_out = ts[1:]
+        obs_ids = np.asarray(outs["obs_ids"])
+        obs_xp = np.asarray(outs["obs_xp"])
+        obs_valid = np.asarray(outs["obs_valid"])
     else:
-        final, outs = kf.run(s0, frames)
-    # health gate: abort with a structured error on divergence instead of
-    # exporting NaN poses
-    check_health(outs)
+        frames = {k: jnp.asarray(v)
+                  for k, v in pack_frames(cfg, ds, imu,
+                                          max_feats=args.max_tracks).items()
+                  if k != "ts"}
+        kf = Msckf(cfg)
+        s0 = kf.init(R0=R0, p0=p0, v0=v0)
+
+        if args.profile:
+            timer.tick("vio_scan")
+            with device_trace(args.profile):
+                final, outs = kf.run(s0, frames)
+                outs = {k: np.asarray(v) for k, v in outs.items()}
+            timer.tock("vio_scan")
+            print(f"profiler trace written to {args.profile}")
+            print(timer)
+        else:
+            final, outs = kf.run(s0, frames)
+        # health gate: abort with a structured error on divergence instead
+        # of exporting NaN poses
+        check_health(outs)
+        ts_out = np.asarray([pk.ts for pk in ds.packets])
+        obs_ids = np.asarray(frames["ids"])
+        obs_xp = np.asarray(frames["xp"])
+        obs_valid = np.asarray(frames["valid"])
 
     p_est = np.asarray(outs["p"])
     ate = float(np.sqrt(np.mean(np.sum((p_est - ref_p) ** 2, axis=1))))
@@ -140,8 +222,7 @@ def main(argv=None):
                                            refine_trajectory)
 
         prob, info = ba_problem_from_vio(
-            np.asarray(frames["ids"]), np.asarray(frames["xp"]),
-            np.asarray(frames["valid"]), np.asarray(outs["R"]), p_est,
+            obs_ids, obs_xp, obs_valid, np.asarray(outs["R"]), p_est,
             (cfg.fx, cfg.fy, cfg.cx, cfg.cy),
             R_bc=cfg.cam_R_bc, p_bc=cfg.cam_p_bc, stride=args.ba_stride,
             max_landmarks=2 * args.max_tracks * max(len(p_est)
@@ -204,8 +285,7 @@ def main(argv=None):
         from visma_tpu.pipeline import export_packets
         from visma_tpu.proto import CameraInfo, Dataset
 
-        ts = np.asarray([pk.ts for pk in ds.packets])
-        packets = export_packets(cfg, outs, ts)
+        packets = export_packets(cfg, outs, ts_out)
         est = Dataset(description="visma_tpu VIO estimate",
                       camera=ds.camera, packets=packets)
         os.makedirs(args.output, exist_ok=True)
@@ -217,7 +297,7 @@ def main(argv=None):
             # the BA-refined one here (same wire format)
             est_ba = Dataset(description="visma_tpu VIO estimate (BA)",
                              camera=ds.camera,
-                             packets=export_packets(cfg, outs_ba, ts))
+                             packets=export_packets(cfg, outs_ba, ts_out))
             with open(os.path.join(args.output, "dataset_ba"), "wb") as fp:
                 fp.write(est_ba.encode())
             print(f"wrote {args.output}/dataset_ba")

@@ -39,7 +39,7 @@ class PipelineState:
 
 class VioPipeline:
     def __init__(self, cfg: FilterConfig, levels: int = 3, cell: int = 16,
-                 klt_radius: int = 5, fused_klt: bool = False):
+                 klt_radius: int = 5, fused_klt: bool = None):
         self.cfg = cfg
         self.tracker = FeatureTracker(max_features=cfg.max_tracks,
                                       levels=levels, radius=klt_radius,
