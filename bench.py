@@ -130,6 +130,7 @@ def bench_semantic(m_objects=4, n_frames=12, cem_iters=4, cem_samples=32):
     replacement for the reference's one-hypothesis-per-GL-draw loop,
     renderer.cpp:321-400). Returns (fps, mean_trans_err_m,
     mean_rot_err_deg)."""
+    import jax
     import jax.numpy as jnp
     import numpy as np
     from scipy.spatial.transform import Rotation
@@ -167,16 +168,18 @@ def bench_semantic(m_objects=4, n_frames=12, cem_iters=4, cem_samples=32):
                           np.array([[0.015 * i], [0.0], [0.0]])])
 
     t0 = time.time()
-    edge_frames = []
+    all_poses = np.empty((n_frames, m_objects, 3, 4), np.float32)
     for i in range(n_frames):
         G = np.eye(4)
         G[:3, :4] = gwc_at(i)
         G_cw = np.linalg.inv(G)
-        poses_cm = np.stack([(G_cw @ T)[:3, :4] for T in T_gt]
-                            ).astype(np.float32)
-        d = mapper.mrenderer.render_depth(jnp.asarray(poses_cm),
-                                          jnp.asarray(mesh_idx))
-        edge_frames.append(np.asarray(depth_edge(jnp.min(d, axis=0))))
+        all_poses[i] = np.stack([(G_cw @ T)[:3, :4] for T in T_gt])
+    # ONE dispatch for all frames' GT renders (per-frame dispatches
+    # previously cost 100-550 s of relay RTT + pool variance here)
+    mi = jnp.broadcast_to(jnp.asarray(mesh_idx), (n_frames, m_objects))
+    d = mapper.mrenderer.render_depth(jnp.asarray(all_poses), mi)
+    edge_frames = np.asarray(
+        jax.vmap(lambda di: depth_edge(jnp.min(di, axis=0)))(d))
     log(f"semantic: rendered {n_frames} GT edge frames in "
         f"{time.time() - t0:.1f}s")
 

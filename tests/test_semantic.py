@@ -298,6 +298,39 @@ class TestBatchedCem:
         assert err_o < 0.05, err_o
         assert np.all(np.isfinite(scores))
 
+    def test_device_loop_matches_host_oracle(self):
+        """The fused on-device CEM (device_loop=True: sampling, render,
+        score, refit all inside one lax.fori_loop dispatch) must converge
+        like the host-refit loop (device_loop=False, the oracle). RNG
+        streams differ (jax.random vs numpy), so we gate on recovered pose
+        and final edge score, not bitwise equality."""
+        from visma_tpu.render.raster import MultiMeshRenderer
+        from visma_tpu.semantic import refine_pose_cem_batched
+
+        V, F = l_mesh()
+        r = Renderer(INTR, capacity=96); r.set_mesh(V, F)
+        true_T = np.eye(4); true_T[:3, 3] = [0.05, -0.02, 2.0]
+        observed = np.asarray(r.render_edge(
+            jnp.asarray(true_T[:3, :4].astype(np.float32))))
+        init = true_T.copy(); init[:3, 3] += [0.1, -0.07, 0.0]
+
+        m = MultiMeshRenderer(INTR, capacity=128)
+        m.set_meshes({"lchair": (V, F)})
+        kw = dict(iters=8, samples=64, seed=3)
+        p_dev, s_dev = refine_pose_cem_batched(
+            m, jnp.asarray(observed), init[None, :3, :4], np.array([0]),
+            device_loop=True, **kw)
+        p_host, s_host = refine_pose_cem_batched(
+            m, jnp.asarray(observed), init[None, :3, :4], np.array([0]),
+            device_loop=False, **kw)
+        for p, s in ((p_dev, s_dev), (p_host, s_host)):
+            lat = np.linalg.norm((p[0][:, 3] - true_T[:3, 3])[:2])
+            assert lat < 0.05, lat
+            assert np.all(np.isfinite(s))
+        # neither path should score meaningfully worse than the other
+        assert s_dev[0] < s_host[0] + 0.05 * abs(s_host[0]) + 1e-3, \
+            (s_dev, s_host)
+
     def test_single_track_no_occluder(self):
         """n=1 with occluder_depths=None (inf occluders) must behave like
         the plain CEM: recovers a laterally perturbed pose."""

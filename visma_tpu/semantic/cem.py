@@ -130,24 +130,84 @@ def _cem_render_score(Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt, obs,
     perturbations (RIGHT-multiplied); occ (n,H,W) per-track occluder depth
     (+inf rows for unoccluded); dt/obs (H,W). Returns scores (n,S).
     """
+    return _render_score_nS(Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt,
+                            obs, intr, tile, capacity, use_pallas, tau)[1]
+
+
+def _render_score_nS(Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt, obs,
+                     intr, tile, capacity, use_pallas, tau):
+    """Shared body: render+score all (n, S) hypotheses. Returns
+    (hyp34 (n,S,3,4), scores (n,S))."""
     from visma_tpu.render.raster import (rasterize_depth,
                                          rasterize_depth_chunked_multi)
 
     n, S = xi.shape[:2]
     mean = SE3(mean_R[:, None], mean_t[:, None])       # (n,1)
     hyp = mean @ SE3.exp(xi)                           # (n,S)
-    poses = hyp.matrix3x4().reshape(n * S, 3, 4)
+    poses = hyp.matrix3x4()
     mi = jnp.repeat(mesh_idx, S)
     if use_pallas:
-        depths = rasterize_depth_chunked_multi(Vs, Fs, poses, mi, intr, tile)
+        depths = rasterize_depth_chunked_multi(
+            Vs, Fs, poses.reshape(n * S, 3, 4), mi, intr, tile)
     else:
         depths = jax.vmap(
             lambda m, p: rasterize_depth(Vs[m], Fs[m], p, intr, tile,
-                                         capacity))(mi, poses)
+                                         capacity)
+        )(mi, poses.reshape(n * S, 3, 4))
     depths = depths.reshape(n, S, intr.rows, intr.cols)
-    return jax.vmap(
+    scores = jax.vmap(
         lambda d, o: occlusion_aware_edge_score(d, o, dt, obs, tau=tau)
     )(depths, occ)
+    return poses, scores
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "intr", "tile", "capacity", "use_pallas", "tau", "iters", "samples",
+    "n_elite"))
+def _cem_fused(Vs, Fs, mesh_idx, R0, t0, sig0, occ, obs, key,
+               intr, tile, capacity, use_pallas, tau, iters, samples,
+               n_elite):
+    """The WHOLE batched CEM as one device computation: sampling, render,
+    score, elite refit, and best-pose tracking run inside a lax.fori_loop
+    — ONE dispatch per frame instead of one per CEM iteration (each
+    host-synced dispatch costs ~30 ms relay RTT; at 4-6 iterations that
+    RTT dominated the mapper's frame budget). Returns
+    (best_pose (n,3,4), best_score (n,))."""
+    n = R0.shape[0]
+    dt = edge_distance_transform(obs)
+    idx = jnp.arange(n)
+
+    def body(_, carry):
+        mean_R, mean_t, sig, best_pose, best_score, key = carry
+        key, sub = jax.random.split(key)
+        # NOTE: plain normal sampling, NOT antithetic (+z,-z) pairs —
+        # antithetic elites cancel in the mean refit and stall the CEM
+        # (measured on chip: trans err 0.019 -> 0.158 m at the bench scene)
+        xi = jax.random.normal(sub, (n, samples, 6), jnp.float32) \
+            * sig[:, None, :]
+        xi = xi.at[:, 0].set(0.0)  # always include the current mean
+        hyp34, scores = _render_score_nS(
+            Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt, obs,
+            intr, tile, capacity, use_pallas, tau)
+        order = jnp.argsort(scores, axis=1)
+        top = order[:, 0]
+        top_score = scores[idx, top]
+        top_pose = hyp34[idx, top]
+        better = top_score < best_score
+        best_pose = jnp.where(better[:, None, None], top_pose, best_pose)
+        best_score = jnp.minimum(best_score, top_score)
+
+        elite = xi[idx[:, None], order[:, :n_elite]]    # (n,E,6)
+        mu = elite.mean(axis=1)
+        sig = elite.std(axis=1) * 1.1 + 1e-4
+        step = SE3(mean_R, mean_t) @ SE3.exp(mu)
+        return step.R, step.t, sig, best_pose, best_score, key
+
+    best_pose0 = jnp.concatenate([R0, t0[:, :, None]], axis=2)
+    carry = (R0, t0, sig0, best_pose0, jnp.full((n,), jnp.inf, jnp.float32),
+             key)
+    carry = jax.lax.fori_loop(0, iters, body, carry)
+    return carry[3], carry[4]
 
 
 def refine_pose_cem_batched(mrenderer, observed_edges: jnp.ndarray,
@@ -157,15 +217,38 @@ def refine_pose_cem_batched(mrenderer, observed_edges: jnp.ndarray,
                             init_sigma: Tuple[float, float] = (0.15, 0.08),
                             seed: int = 0, tau: float = 10.0,
                             occluder_depths: Optional[jnp.ndarray] = None,
+                            device_loop: bool = True,
                             ):
     """Jointly refine n (3,4)/(4,4) model->camera poses of n objects.
 
     mrenderer: render.raster.MultiMeshRenderer with the mesh database set;
     mesh_idx (n,) database indices; occluder_depths optional (n,H,W).
-    Per CEM iteration: ONE render+score dispatch covering n*samples
-    hypotheses (vs n sequential dispatches in refine_pose_cem).
-    Returns (poses (n,3,4), scores (n,)).
+    device_loop=True (default) runs the ENTIRE CEM — sampling, render,
+    score, refit — as one jitted lax.fori_loop dispatch (_cem_fused);
+    device_loop=False keeps the host-refit loop (one dispatch per
+    iteration, numpy refit), retained as the test oracle for the fused
+    path. Returns (poses (n,3,4), scores (n,)).
     """
+    if device_loop:
+        init_poses = np.asarray(init_poses, np.float32)
+        n = init_poses.shape[0]
+        sig0 = np.tile(np.concatenate([np.full(3, init_sigma[1]),
+                                       np.full(3, init_sigma[0])]
+                                      ).astype(np.float32), (n, 1))
+        if occluder_depths is None:
+            occ = jnp.full((n, mrenderer.intr.rows, mrenderer.intr.cols),
+                           jnp.inf, jnp.float32)
+        else:
+            occ = jnp.asarray(occluder_depths, jnp.float32)
+        pose, score = _cem_fused(
+            mrenderer.Vs, mrenderer.Fs, jnp.asarray(mesh_idx, jnp.int32),
+            jnp.asarray(init_poses[:, :3, :3]),
+            jnp.asarray(init_poses[:, :3, 3]), jnp.asarray(sig0), occ,
+            jnp.asarray(observed_edges, jnp.float32),
+            jax.random.PRNGKey(seed), mrenderer.intr, mrenderer.tile,
+            mrenderer.capacity, mrenderer.use_pallas, tau, iters, samples,
+            max(2, int(samples * elite_frac)))
+        return np.asarray(pose), np.asarray(score)
     init_poses = np.asarray(init_poses, np.float32)
     n = init_poses.shape[0]
     dt = edge_distance_transform(jnp.asarray(observed_edges))
