@@ -286,3 +286,51 @@ class TestMultiMesh:
         assert (np.isfinite(ref) == np.isfinite(new)).all()
         both = np.isfinite(ref) & np.isfinite(new)
         np.testing.assert_allclose(ref[both], new[both], atol=1e-3)
+
+
+class TestRoiRaster:
+    """ROI-windowed rendering must equal the full-frame render cropped at
+    the same window — for ALL geometry (rasterization is per-pixel; the
+    window is a screen-space translation)."""
+
+    def test_roi_equals_crop_xla(self):
+        from visma_tpu.render.raster import rasterize_depth_roi
+
+        V, F = icosphere(subdiv=2, r=0.5)
+        V = V + np.array([0, 0, 2.0], np.float32)
+        full = np.asarray(rasterize_depth(jnp.asarray(V), jnp.asarray(F),
+                                          IDENTITY, INTR, 32, 512))
+        roi = (48, 64)
+        for ox, oy in [(0, 0), (16, 8), (32, 16)]:
+            w = np.asarray(rasterize_depth_roi(
+                jnp.asarray(V), jnp.asarray(F), IDENTITY,
+                jnp.asarray([ox, oy], jnp.float32), INTR, roi, 32, 512))
+            crop = full[oy:oy + roi[0], ox:ox + roi[1]]
+            assert (np.isfinite(w) == np.isfinite(crop)).mean() > 0.999
+            both = np.isfinite(w) & np.isfinite(crop)
+            np.testing.assert_allclose(w[both], crop[both], atol=1e-3)
+
+    def test_roi_equals_crop_chunked_interpret(self):
+        from visma_tpu.render.raster import (
+            MultiMeshRenderer, rasterize_depth_chunked_multi,
+            rasterize_depth_chunked_multi_roi)
+
+        db = TestMultiMesh().make_db()
+        m = MultiMeshRenderer(INTR, use_pallas=False)
+        m.set_meshes(db)
+        poses = jnp.asarray(TestMultiMesh().poses())
+        mi = jnp.asarray([1, 0, 1, 1, 0], jnp.int32)
+        full = np.asarray(rasterize_depth_chunked_multi(
+            m.Vs, m.Fs, poses, mi, INTR, 32, interpret=True))
+        roi = (32, 64)
+        origins = jnp.asarray([[0, 0], [8, 16], [16, 8], [32, 32], [4, 4]],
+                              jnp.float32)
+        w = np.asarray(rasterize_depth_chunked_multi_roi(
+            m.Vs, m.Fs, poses, mi, origins, INTR, roi, 32,
+            interpret=True))
+        for b in range(5):
+            ox, oy = int(origins[b, 0]), int(origins[b, 1])
+            crop = full[b, oy:oy + roi[0], ox:ox + roi[1]]
+            assert (np.isfinite(w[b]) == np.isfinite(crop)).mean() > 0.999
+            both = np.isfinite(w[b]) & np.isfinite(crop)
+            np.testing.assert_allclose(w[b][both], crop[both], atol=1e-3)

@@ -351,3 +351,92 @@ class TestBatchedCem:
             iters=8, samples=64, seed=3)
         lat = np.linalg.norm((refined[0][:, 3] - true_T[:3, 3])[:2])
         assert lat < 0.05, lat
+
+
+class TestRoiCem:
+    """ROI-windowed CEM: window scores equal full-frame scores when the
+    object footprint fits the window (chamfer mass is local to rendered
+    pixels; the coverage denominator stays the global edge mass), and the
+    windowed CEM converges like the full-frame one."""
+
+    def _scene(self):
+        from visma_tpu.render.raster import MultiMeshRenderer
+        from tests.test_eval import cube_mesh
+
+        V, F = l_mesh()
+        Vo, Fo = cube_mesh(1.0)
+        Vo = Vo * np.array([0.18, 0.5, 0.1], np.float32)
+        db = {"lchair": (V, F), "box": (Vo, Fo)}
+        target = Renderer(INTR, capacity=96); target.set_mesh(V, F)
+        occl = Renderer(INTR, capacity=96); occl.set_mesh(Vo, Fo)
+        T_t = np.eye(4, dtype=np.float32); T_t[:3, 3] = [0.12, 0.0, 2.2]
+        T_o = np.eye(4, dtype=np.float32); T_o[:3, 3] = [0.0, 0.0, 1.4]
+        from visma_tpu.image.edges import depth_edge
+        d_t = target.render_depth(jnp.asarray(T_t[:3, :4]))
+        d_o = occl.render_depth(jnp.asarray(T_o[:3, :4]))
+        observed = np.asarray(depth_edge(jnp.minimum(d_t, d_o)))
+        m = MultiMeshRenderer(INTR, capacity=128)
+        m.set_meshes(db)
+        return m, observed, T_t, T_o, d_t, d_o
+
+    def test_roi_scores_match_fullframe(self):
+        from visma_tpu.render.likelihood import edge_distance_transform
+        from visma_tpu.semantic.cem import (_render_score_nS, _roi_origins)
+
+        m, observed, T_t, T_o, d_t, d_o = self._scene()
+        obs = jnp.asarray(observed)
+        dt = edge_distance_transform(obs)
+        occ = jnp.stack([d_o, d_t])
+        mi = jnp.asarray([0, 1], jnp.int32)
+        R = jnp.asarray(np.stack([T_t[:3, :3], T_o[:3, :3]]))
+        t = jnp.asarray(np.stack([T_t[:3, 3], T_o[:3, 3]]))
+        rng = np.random.default_rng(11)
+        xi = jnp.asarray(rng.standard_normal((2, 8, 6)).astype(np.float32)
+                         * np.array([0.05] * 3 + [0.04] * 3, np.float32))
+
+        args = (m.Vs, m.Fs, mi, R, t, xi, occ, dt, obs,
+                m.intr, m.tile, m.capacity, False, 10.0)
+        _, s_full = _render_score_nS(*args)
+        roi = (96, 128)
+        origins = _roi_origins(t, m.intr, roi)
+        _, s_roi = _render_score_nS(*args, roi=roi, origins=origins)
+        np.testing.assert_allclose(np.asarray(s_roi), np.asarray(s_full),
+                                   rtol=0, atol=2e-5)
+
+    def test_roi_cem_converges(self):
+        from visma_tpu.semantic import refine_pose_cem_batched
+
+        m, observed, T_t, T_o, d_t, d_o = self._scene()
+        p_t = T_t.copy(); p_t[:3, 3] += [0.08, -0.06, 0.0]
+        p_o = T_o.copy(); p_o[:3, 3] += [-0.06, 0.05, 0.0]
+        init = np.stack([p_t[:3, :4], p_o[:3, :4]])
+        occ = jnp.stack([d_o, d_t])
+        refined, scores = refine_pose_cem_batched(
+            m, jnp.asarray(observed), init, np.array([0, 1]),
+            iters=6, samples=48, seed=1, occluder_depths=occ,
+            roi=(96, 128))
+        err_t = np.linalg.norm((refined[0][:, 3] - T_t[:3, 3])[:2])
+        err_o = np.linalg.norm((refined[1][:, 3] - T_o[:3, 3])[:2])
+        assert err_t < 0.06, err_t
+        assert err_o < 0.05, err_o
+        assert np.all(np.isfinite(scores))
+
+    def test_mapper_roi_after_settle(self):
+        """SemanticMapper(roi=...): spawn frame refines full-frame, settled
+        frames use the window; the track still converges to the object."""
+        from visma_tpu.image.edges import depth_edge
+
+        m, observed, T_t, T_o, d_t, d_o = self._scene()
+        db = {"lchair": l_mesh()}
+        mapper = SemanticMapper(INTR, db, depth_prior=2.2, cem_iters=5,
+                                cem_samples=48, roi=(96, 128))
+        gwc0 = np.hstack([np.eye(3), np.zeros((3, 1))])
+        edges_t = np.asarray(depth_edge(d_t))
+        bl = BoundingBoxList(bounding_boxes=[BoundingBox(
+            top_left_x=70, top_left_y=40, bottom_right_x=120,
+            bottom_right_y=80, shape_id="lchair")])
+        mapper.step(gwc0, edges_t, bl)      # spawn: full-frame path
+        for _ in range(3):
+            mapper.step(gwc0, edges_t)      # settled: ROI path
+        tr = next(iter(mapper.tracks.values()))
+        assert np.linalg.norm(tr.pose_wm[:3, 3] - T_t[:3, 3]) < 0.12

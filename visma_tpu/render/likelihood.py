@@ -87,12 +87,19 @@ def chamfer_score(rendered_edges: jnp.ndarray, dt: jnp.ndarray,
 def symmetric_edge_score(rendered_edges: jnp.ndarray, dt: jnp.ndarray,
                          observed_edges: jnp.ndarray, tau: float = 10.0,
                          radius: int = 2,
-                         coverage_weight: float = 5.0) -> jnp.ndarray:
+                         coverage_weight: float = 5.0,
+                         obs_mass: Optional[jnp.ndarray] = None
+                         ) -> jnp.ndarray:
     """Chamfer + coverage: penalize hypotheses whose renders leave observed
     edges unexplained (pure one-directional chamfer has a degenerate
     optimum where geometry "hides" so every rendered pixel lands on an
     observed edge). Coverage = fraction of observed edge mass within
     `radius` px of a rendered edge (dilated-maxpool test).
+
+    obs_mass: pass the FULL-FRAME observed edge mass when dt/observed_edges
+    are ROI windows — the coverage numerator is local to rendered edges
+    (zero outside any window covering them), but the denominator must stay
+    global for window scores to equal full-frame scores.
     """
     base = chamfer_score(rendered_edges, dt, tau)
     k = 2 * radius + 1
@@ -101,8 +108,9 @@ def symmetric_edge_score(rendered_edges: jnp.ndarray, dt: jnp.ndarray,
     dil = jax.lax.reduce_window(r, -jnp.inf, jax.lax.max, (1, k, k),
                                 (1, 1, 1), "SAME")
     obs = observed_edges[None]
+    denom = jnp.sum(obs) if obs_mass is None else obs_mass
     cov = jnp.sum(jnp.minimum(dil, 1.0) * obs, axis=(-2, -1)) \
-        / jnp.maximum(jnp.sum(obs), 1e-6)
+        / jnp.maximum(denom, 1e-6)
     score = base + coverage_weight * (1.0 - (cov if batched else cov[0]))
     return score
 
@@ -114,7 +122,9 @@ def occlusion_aware_edge_score(rendered_depth: jnp.ndarray,
                                dt: jnp.ndarray,
                                observed_edges: jnp.ndarray,
                                tau: float = 10.0, radius: int = 2,
-                               coverage_weight: float = 5.0) -> jnp.ndarray:
+                               coverage_weight: float = 5.0,
+                               obs_mass: Optional[jnp.ndarray] = None
+                               ) -> jnp.ndarray:
     """Score pose hypotheses of ONE object in a multi-object scene.
 
     rendered_depth (B, H, W): hypothesis depth renders of the object;
@@ -134,11 +144,15 @@ def occlusion_aware_edge_score(rendered_depth: jnp.ndarray,
     occ = occluder_depth[None]
     joint = jnp.minimum(rendered_depth, occ)
     e_joint = depth_edge(joint)
-    e_occ = depth_edge(jnp.broadcast_to(occ, joint.shape))
+    # occluder edges don't depend on the hypothesis: ONE stencil pass,
+    # broadcast into the subtraction (was depth_edge of a (B,H,W)
+    # broadcast — B identical stencil passes)
+    e_occ = depth_edge(occ)
     attributable = jnp.maximum(e_joint - e_occ, 0.0)
     return symmetric_edge_score(attributable, dt, observed_edges, tau=tau,
                                 radius=radius,
-                                coverage_weight=coverage_weight)
+                                coverage_weight=coverage_weight,
+                                obs_mass=obs_mass)
 
 
 def scene_depth(renderers, poses_cm):

@@ -256,6 +256,13 @@ def _prep_chunks(V, F, pose, intr: Intrinsics, tile: int, chunk: int):
     """Per-pose chunked-kernel inputs: packed plane table + per-tile chunk
     id lists. V/F may be traced arrays (per-hypothesis meshes) — only their
     SHAPES must be static."""
+    xy, z = _project(V, pose, intr)
+    return _prep_chunks_xy(xy, z, F, intr, tile, chunk)
+
+
+def _prep_chunks_xy(xy, z, F, intr: Intrinsics, tile: int, chunk: int):
+    """_prep_chunks body on pre-projected screen coords — the ROI paths
+    shift xy by a per-hypothesis window origin before binning."""
     H, W = intr.rows, intr.cols
     nty, ntx = -(-H // tile), -(-W // tile)
     ntiles = nty * ntx
@@ -263,7 +270,6 @@ def _prep_chunks(V, F, pose, intr: Intrinsics, tile: int, chunk: int):
     pad = (-T) % chunk
     nc = (T + pad) // chunk
 
-    xy, z = _project(V, pose, intr)
     planes, ok = _triangle_planes(xy, z, F, intr)
     fail = jnp.zeros((12,), jnp.float32).at[2].set(-1.0)
     planes = jnp.concatenate(
@@ -385,6 +391,66 @@ def rasterize_depth_chunked_multi(Vs: jnp.ndarray, Fs: jnp.ndarray,
     _, inv = jax.lax.scan(one_pose, None,
                           (poses_cw, mesh_idx.astype(jnp.int32)))
     return _stitch_inv(inv, intr, tile)
+
+
+def _roi_intr(intr: Intrinsics, roi) -> Intrinsics:
+    return Intrinsics(fx=intr.fx, fy=intr.fy, cx=intr.cx, cy=intr.cy,
+                      rows=roi[0], cols=roi[1],
+                      z_near=intr.z_near, z_far=intr.z_far)
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "roi", "tile", "chunk",
+                                             "interpret"))
+def rasterize_depth_chunked_multi_roi(Vs: jnp.ndarray, Fs: jnp.ndarray,
+                                      poses_cw: jnp.ndarray,
+                                      mesh_idx: jnp.ndarray,
+                                      origins: jnp.ndarray,
+                                      intr: Intrinsics, roi,
+                                      tile: int = 32, chunk: int = 128,
+                                      interpret: bool = False
+                                      ) -> jnp.ndarray:
+    """ROI-windowed chunked rasterizer: hypothesis b renders mesh
+    mesh_idx[b] at poses_cw[b] into a (roi[0], roi[1]) window whose
+    top-left GLOBAL pixel is origins[b] = (x0, y0) float32.
+
+    Equals the full-frame render cropped at the same window up to float
+    roundoff (the edge/interpolation planes are affine in pixel coords; an
+    ROI is a screen-space translation: shift projected xy, raster a
+    smaller tile grid) — for ALL geometry, whether or not it fits the
+    window. This is the semantic CEM's key economy — object hypotheses
+    cover a small screen region, so the per-hypothesis raster/score cost
+    drops from H*W to the window size (the reference renders full frames
+    per hypothesis, renderer.cpp:353-400)."""
+    roi_intr = _roi_intr(intr, roi)
+    call = _chunk_raster_call(roi_intr, Fs.shape[1], tile, chunk, interpret)
+
+    def one_pose(_, args):
+        pose, mi, org = args
+        xy, z = _project(Vs[mi], pose, intr)
+        planes, ids, counts = _prep_chunks_xy(xy - org[None, :], z, Fs[mi],
+                                              roi_intr, tile, chunk)
+        return None, call(counts, ids, planes)
+
+    _, inv = jax.lax.scan(
+        one_pose, None,
+        (poses_cw, mesh_idx.astype(jnp.int32),
+         jnp.asarray(origins, jnp.float32)))
+    return _stitch_inv(inv, roi_intr, tile)
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "roi", "tile",
+                                             "capacity"))
+def rasterize_depth_roi(V: jnp.ndarray, F: jnp.ndarray,
+                        pose_cw: jnp.ndarray, origin: jnp.ndarray,
+                        intr: Intrinsics, roi, tile: int = 32,
+                        capacity: int = 128) -> jnp.ndarray:
+    """XLA-path ROI render (CPU/tests twin of
+    rasterize_depth_chunked_multi_roi): one pose into a (roi[0], roi[1])
+    window at global top-left `origin` (x0, y0). vmap for batches."""
+    roi_intr = _roi_intr(intr, roi)
+    xy, z = _project(V, pose_cw, intr)
+    return _raster_tiles(xy - jnp.asarray(origin, jnp.float32)[None, :], z,
+                         F, roi_intr, tile, capacity)
 
 
 @functools.partial(jax.jit, static_argnames=("intr", "tile", "capacity"))

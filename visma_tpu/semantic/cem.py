@@ -118,60 +118,116 @@ def _se3_exp_np(xi: np.ndarray) -> np.ndarray:
     return out
 
 
+def _roi_origins(t_cm, intr, roi):
+    """Window top-left (x0, y0) per object: centered on the projected
+    object origin, clipped inside the image. t_cm (n,3) camera-frame
+    object centers; returns (n,2) float32 (integral values)."""
+    z = jnp.maximum(t_cm[:, 2], 1e-3)
+    u = intr.fx * t_cm[:, 0] / z + intr.cx
+    v = intr.fy * t_cm[:, 1] / z + intr.cy
+    ox = jnp.clip(jnp.round(u - roi[1] / 2), 0, intr.cols - roi[1])
+    oy = jnp.clip(jnp.round(v - roi[0] / 2), 0, intr.rows - roi[0])
+    return jnp.stack([ox, oy], axis=1).astype(jnp.float32)
+
+
+def _crop(img, origin, roi):
+    """(H,W) -> (roi[0], roi[1]) window at global top-left origin=(x0,y0)."""
+    return jax.lax.dynamic_slice(
+        img, (origin[1].astype(jnp.int32), origin[0].astype(jnp.int32)),
+        (roi[0], roi[1]))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("intr", "tile", "capacity",
-                                    "use_pallas", "tau"))
+                                    "use_pallas", "tau", "roi"))
 def _cem_render_score(Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt, obs,
-                      intr, tile, capacity, use_pallas, tau):
+                      intr, tile, capacity, use_pallas, tau, roi=None,
+                      origins=None):
     """Render+score (n, S) hypotheses of n objects in one computation.
 
     Vs/Fs: padded mesh stack (render.raster.pad_mesh_stack);
     mesh_idx (n,); mean_R (n,3,3), mean_t (n,3); xi (n,S,6) tangent
     perturbations (RIGHT-multiplied); occ (n,H,W) per-track occluder depth
     (+inf rows for unoccluded); dt/obs (H,W). Returns scores (n,S).
+    roi/origins: optional (Hr,Wr) static window + (n,2) top-lefts — see
+    _render_score_nS.
     """
     return _render_score_nS(Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt,
-                            obs, intr, tile, capacity, use_pallas, tau)[1]
+                            obs, intr, tile, capacity, use_pallas, tau,
+                            roi=roi, origins=origins)[1]
 
 
 def _render_score_nS(Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt, obs,
-                     intr, tile, capacity, use_pallas, tau):
+                     intr, tile, capacity, use_pallas, tau,
+                     roi=None, origins=None):
     """Shared body: render+score all (n, S) hypotheses. Returns
-    (hyp34 (n,S,3,4), scores (n,S))."""
+    (hyp34 (n,S,3,4), scores (n,S)).
+
+    roi (static (Hr,Wr)) + origins (n,2): render and score each object's
+    hypotheses inside a fixed-size screen window instead of the full
+    frame. EXACT for footprints inside the window (chamfer mass lives on
+    rendered pixels; the coverage denominator stays the global edge mass)
+    — the per-hypothesis cost drops from H*W to Hr*Wr pixels.
+    """
     from visma_tpu.render.raster import (rasterize_depth,
-                                         rasterize_depth_chunked_multi)
+                                         rasterize_depth_chunked_multi,
+                                         rasterize_depth_chunked_multi_roi,
+                                         rasterize_depth_roi)
 
     n, S = xi.shape[:2]
     mean = SE3(mean_R[:, None], mean_t[:, None])       # (n,1)
     hyp = mean @ SE3.exp(xi)                           # (n,S)
     poses = hyp.matrix3x4()
     mi = jnp.repeat(mesh_idx, S)
+    flat = poses.reshape(n * S, 3, 4)
+    if roi is None:
+        if use_pallas:
+            depths = rasterize_depth_chunked_multi(Vs, Fs, flat, mi, intr,
+                                                   tile)
+        else:
+            depths = jax.vmap(
+                lambda m, p: rasterize_depth(Vs[m], Fs[m], p, intr, tile,
+                                             capacity))(mi, flat)
+        depths = depths.reshape(n, S, intr.rows, intr.cols)
+        scores = jax.vmap(
+            lambda d, o: occlusion_aware_edge_score(d, o, dt, obs, tau=tau)
+        )(depths, occ)
+        return poses, scores
+
+    org = jnp.repeat(origins, S, axis=0)               # (n*S, 2)
     if use_pallas:
-        depths = rasterize_depth_chunked_multi(
-            Vs, Fs, poses.reshape(n * S, 3, 4), mi, intr, tile)
+        depths = rasterize_depth_chunked_multi_roi(Vs, Fs, flat, mi, org,
+                                                   intr, roi, tile)
     else:
         depths = jax.vmap(
-            lambda m, p: rasterize_depth(Vs[m], Fs[m], p, intr, tile,
-                                         capacity)
-        )(mi, poses.reshape(n * S, 3, 4))
-    depths = depths.reshape(n, S, intr.rows, intr.cols)
+            lambda m, p, o: rasterize_depth_roi(Vs[m], Fs[m], p, o, intr,
+                                                roi, tile, capacity)
+        )(mi, flat, org)
+    depths = depths.reshape(n, S, roi[0], roi[1])
+    obs_mass = jnp.sum(obs)
+    dt_w = jax.vmap(lambda o: _crop(dt, o, roi))(origins)
+    obs_w = jax.vmap(lambda o: _crop(obs, o, roi))(origins)
+    occ_w = jax.vmap(lambda im, o: _crop(im, o, roi))(occ, origins)
     scores = jax.vmap(
-        lambda d, o: occlusion_aware_edge_score(d, o, dt, obs, tau=tau)
-    )(depths, occ)
+        lambda d, o, dw, ow: occlusion_aware_edge_score(
+            d, o, dw, ow, tau=tau, obs_mass=obs_mass)
+    )(depths, occ_w, dt_w, obs_w)
     return poses, scores
 
 
 @functools.partial(jax.jit, static_argnames=(
     "intr", "tile", "capacity", "use_pallas", "tau", "iters", "samples",
-    "n_elite"))
+    "n_elite", "roi"))
 def _cem_fused(Vs, Fs, mesh_idx, R0, t0, sig0, occ, obs, key,
                intr, tile, capacity, use_pallas, tau, iters, samples,
-               n_elite):
+               n_elite, roi=None):
     """The WHOLE batched CEM as one device computation: sampling, render,
     score, elite refit, and best-pose tracking run inside a lax.fori_loop
     — ONE dispatch per frame instead of one per CEM iteration (each
     host-synced dispatch costs ~30 ms relay RTT; at 4-6 iterations that
-    RTT dominated the mapper's frame budget). Returns
+    RTT dominated the mapper's frame budget). roi: optional static
+    (Hr, Wr) screen window per object, recentered on the current mean's
+    projected center every iteration. Returns
     (best_pose (n,3,4), best_score (n,))."""
     n = R0.shape[0]
     dt = edge_distance_transform(obs)
@@ -186,9 +242,19 @@ def _cem_fused(Vs, Fs, mesh_idx, R0, t0, sig0, occ, obs, key,
         xi = jax.random.normal(sub, (n, samples, 6), jnp.float32) \
             * sig[:, None, :]
         xi = xi.at[:, 0].set(0.0)  # always include the current mean
+        # ...and the best-so-far pose, expressed in the current mean's
+        # tangent: re-anchors the search when the mean wanders and makes
+        # the best score monotone by construction (sample 1 re-scores it)
+        rel = SE3(mean_R, mean_t).inv() @ SE3.from_matrix3x4(best_pose)
+        xi = xi.at[:, 1].set(rel.log())
+        # window RECENTERED on the current mean each iteration (crops are
+        # dynamic_slice — cheap), so the object keeps its full margin as
+        # the mean migrates
+        origins = None if roi is None else _roi_origins(mean_t, intr, roi)
         hyp34, scores = _render_score_nS(
             Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt, obs,
-            intr, tile, capacity, use_pallas, tau)
+            intr, tile, capacity, use_pallas, tau, roi=roi,
+            origins=origins)
         order = jnp.argsort(scores, axis=1)
         top = order[:, 0]
         top_score = scores[idx, top]
@@ -218,6 +284,7 @@ def refine_pose_cem_batched(mrenderer, observed_edges: jnp.ndarray,
                             seed: int = 0, tau: float = 10.0,
                             occluder_depths: Optional[jnp.ndarray] = None,
                             device_loop: bool = True,
+                            roi: Optional[Tuple[int, int]] = None,
                             ):
     """Jointly refine n (3,4)/(4,4) model->camera poses of n objects.
 
@@ -227,8 +294,16 @@ def refine_pose_cem_batched(mrenderer, observed_edges: jnp.ndarray,
     score, refit — as one jitted lax.fori_loop dispatch (_cem_fused);
     device_loop=False keeps the host-refit loop (one dispatch per
     iteration, numpy refit), retained as the test oracle for the fused
-    path. Returns (poses (n,3,4), scores (n,)).
+    path. roi: optional static (Hr, Wr) per-object screen window — exact
+    when each object's footprint + search radius fits the window; cost
+    per hypothesis drops from rows*cols to Hr*Wr pixels.
+    Returns (poses (n,3,4), scores (n,)).
     """
+    if roi is not None:
+        roi = (min(int(roi[0]), mrenderer.intr.rows),
+               min(int(roi[1]), mrenderer.intr.cols))
+        if roi == (mrenderer.intr.rows, mrenderer.intr.cols):
+            roi = None  # window >= frame: the plain path is the same
     if device_loop:
         init_poses = np.asarray(init_poses, np.float32)
         n = init_poses.shape[0]
@@ -247,7 +322,7 @@ def refine_pose_cem_batched(mrenderer, observed_edges: jnp.ndarray,
             jnp.asarray(observed_edges, jnp.float32),
             jax.random.PRNGKey(seed), mrenderer.intr, mrenderer.tile,
             mrenderer.capacity, mrenderer.use_pallas, tau, iters, samples,
-            max(2, int(samples * elite_frac)))
+            max(2, int(samples * elite_frac)), roi=roi)
         return np.asarray(pose), np.asarray(score)
     init_poses = np.asarray(init_poses, np.float32)
     n = init_poses.shape[0]
@@ -271,6 +346,8 @@ def refine_pose_cem_batched(mrenderer, observed_edges: jnp.ndarray,
     best_score = np.full(n, np.inf)
 
     mi = jnp.asarray(mesh_idx, jnp.int32)
+    origins = None if roi is None else _roi_origins(
+        jnp.asarray(init_poses[:, :3, 3]), mrenderer.intr, roi)
     for _ in range(iters):
         xi = rng.standard_normal((n, samples, 6)).astype(np.float32) \
             * sig[:, None, :]
@@ -279,7 +356,7 @@ def refine_pose_cem_batched(mrenderer, observed_edges: jnp.ndarray,
             mrenderer.Vs, mrenderer.Fs, mi, jnp.asarray(mean_R),
             jnp.asarray(mean_t), jnp.asarray(xi), occ, dt, obs,
             mrenderer.intr, mrenderer.tile, mrenderer.capacity,
-            mrenderer.use_pallas, tau))                     # (n,S)
+            mrenderer.use_pallas, tau, roi=roi, origins=origins))  # (n,S)
 
         order = np.argsort(scores, axis=1)
         # host-side refit (numpy: zero extra dispatches)

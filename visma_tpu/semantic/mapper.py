@@ -49,11 +49,16 @@ class SemanticMapper:
     def __init__(self, intr: Intrinsics, mesh_db: Dict[str, tuple],
                  depth_prior: float = 2.0, cem_iters: int = 5,
                  cem_samples: int = 48, retrieval_yaws: int = 12,
-                 azimuth_prior_weight: float = 1.0):
+                 azimuth_prior_weight: float = 1.0,
+                 roi: Optional[tuple] = None):
         """mesh_db: model_name -> (V, F).
 
         retrieval_yaws / azimuth_prior_weight control detection-driven
-        shape retrieval (see retrieve_shape)."""
+        shape retrieval (see retrieve_shape). roi: optional (Hr, Wr)
+        screen window for CEM render+score of SETTLED tracks (age >= 1;
+        fresh spawns refine full-frame since their init error can exceed
+        the window margin) — per-hypothesis cost drops from rows*cols to
+        Hr*Wr pixels, exact while footprints stay inside the window."""
         self.intr = intr
         self.mesh_db = mesh_db
         self.depth_prior = depth_prior
@@ -61,6 +66,7 @@ class SemanticMapper:
         self.cem_samples = cem_samples
         self.retrieval_yaws = retrieval_yaws
         self.azimuth_prior_weight = azimuth_prior_weight
+        self.roi = None if roi is None else (int(roi[0]), int(roi[1]))
         self.tracks: Dict[int, ObjectTrack] = {}
         self.mrenderer = MultiMeshRenderer(intr, capacity=128)
         if mesh_db:
@@ -200,11 +206,12 @@ class SemanticMapper:
                     self.mrenderer.intr, self.mrenderer.tile,
                     self.mrenderer.capacity, self.mrenderer.use_pallas)
 
+            roi = self.roi if all(tr.age >= 1 for tr in tracks) else None
             refined, scores = refine_pose_cem_batched(
                 self.mrenderer, jnp.asarray(edge_map), poses_cm, mesh_idx,
                 iters=self.cem_iters, samples=self.cem_samples,
                 seed=min(tr.age for tr in tracks),
-                occluder_depths=occ)
+                occluder_depths=occ, roi=roi)
             for i, tr in enumerate(tracks):
                 T_cm = np.eye(4)
                 T_cm[:3, :4] = refined[i]
