@@ -343,3 +343,54 @@ class TestHealthGate:
         with pytest.raises(DivergenceError) as ei:
             check_health(outs)
         assert ei.value.frame == 5
+
+
+class TestNullspaceProjection:
+    def test_householder_matches_qr_oracle(self):
+        """The 3-reflection nullspace projection must span the same
+        subspace as QR(complete)+N^T: the basis-invariant products
+        Hp^T Hp, Hp^T rp, rp^T rp must match, and masked (zero) rows must
+        stay exact zeros."""
+        import jax.numpy as jnp
+
+        from visma_tpu.filter.update import nullspace_project
+
+        def oracle(r, Hx, Hf):
+            Q, _ = jnp.linalg.qr(Hf, mode="complete")
+            N = Q[:, 3:]
+            return N.T @ r, N.T @ Hx
+
+        rng = np.random.default_rng(4)
+        M, D = 8, 63
+        for trial in range(4):
+            mask = rng.random(M) < (0.99 if trial < 2 else 0.5)
+            mask2 = np.repeat(mask, 2)
+            r = (rng.standard_normal(2 * M) * mask2).astype(np.float32)
+            Hx = (rng.standard_normal((2 * M, D))
+                  * mask2[:, None]).astype(np.float32)
+            Hf = (rng.standard_normal((2 * M, 3))
+                  * mask2[:, None]).astype(np.float32)
+            rp, Hp = nullspace_project(jnp.asarray(r), jnp.asarray(Hx),
+                                       jnp.asarray(Hf))
+            ro, Ho = oracle(jnp.asarray(r), jnp.asarray(Hx),
+                            jnp.asarray(Hf))
+            rp, Hp, ro, Ho = map(np.asarray, (rp, Hp, ro, Ho))
+            np.testing.assert_allclose(Hp.T @ Hp, Ho.T @ Ho,
+                                       rtol=2e-3, atol=2e-3)
+            np.testing.assert_allclose(Hp.T @ rp, Ho.T @ ro,
+                                       rtol=2e-3, atol=2e-3)
+            np.testing.assert_allclose(rp @ rp, ro @ ro, rtol=1e-4)
+            # the projected rows annihilate Hf
+            np.testing.assert_allclose(Hp @ np.zeros(D) + 0.0, 0.0)
+
+    def test_zero_feature_stays_zero(self):
+        import jax.numpy as jnp
+
+        from visma_tpu.filter.update import nullspace_project
+
+        M, D = 8, 63
+        rp, Hp = nullspace_project(jnp.zeros(2 * M),
+                                   jnp.zeros((2 * M, D)),
+                                   jnp.zeros((2 * M, 3)))
+        assert np.all(np.asarray(rp) == 0.0)
+        assert np.all(np.asarray(Hp) == 0.0)

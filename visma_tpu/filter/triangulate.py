@@ -28,6 +28,37 @@ def project(cfg: FilterConfig, Xc: jnp.ndarray) -> jnp.ndarray:
                       cfg.fy * Xc[..., 1] / z + cfg.cy], axis=-1)
 
 
+def solve3x3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form (..., 3, 3) @ x = (..., 3) solve via the adjugate.
+
+    jnp.linalg.solve lowers tiny batched systems to an LU loop of many
+    scalar-ish HLO ops — measured as a major chunk of the 0.17 ms
+    triangulation stage (tools/profile_filter.py). The adjugate is ~40
+    fused elementwise flops. Callers ridge-regularize A, and results are
+    bounded/gated downstream, which covers the (slightly) weaker numerics
+    vs LU on near-singular systems."""
+    a00, a01, a02 = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    a10, a11, a12 = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    a20, a21, a22 = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c00 = a11 * a22 - a12 * a21
+    c01 = a02 * a21 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c10 = a12 * a20 - a10 * a22
+    c11 = a00 * a22 - a02 * a20
+    c12 = a02 * a10 - a00 * a12
+    c20 = a10 * a21 - a11 * a20
+    c21 = a01 * a20 - a00 * a21
+    c22 = a00 * a11 - a01 * a10
+    det = a00 * c00 + a01 * c10 + a02 * c20
+    # NOTE c is laid out as the TRANSPOSED cofactor matrix (adjugate rows)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    x0 = (c00 * b0 + c01 * b1 + c02 * b2) * inv_det
+    x1 = (c10 * b0 + c11 * b1 + c12 * b2) * inv_det
+    x2 = (c20 * b0 + c21 * b1 + c22 * b2) * inv_det
+    return jnp.stack([x0, x1, x2], axis=-1)
+
+
 def triangulate_linear(cfg: FilterConfig, obs, mask, win_R, win_p):
     """Midpoint method: X = argmin sum ||(I - d d^T)(X - p_i)||^2.
 
@@ -40,7 +71,7 @@ def triangulate_linear(cfg: FilterConfig, obs, mask, win_R, win_p):
     Pm = Pm * w[:, None, None]
     A = jnp.sum(Pm, axis=0) + 1e-6 * jnp.eye(3)
     b = jnp.einsum("mij,mj->i", Pm, win_p)
-    X = jnp.linalg.solve(A, b)
+    X = solve3x3(A, b)
     # near-parallel rays make A ~ singular: the solution blows up and can
     # overflow f32 downstream. Clamp and flag.
     norm = jnp.linalg.norm(X)
@@ -75,7 +106,7 @@ def triangulate(cfg: FilterConfig, obs, mask, win_R, win_p, gn_iters: int = 3):
         J = J * mask[:, None, None]
         H = jnp.einsum("mai,maj->ij", J, J) + 1e-4 * jnp.eye(3)
         g = jnp.einsum("mai,ma->i", J, r)
-        dX = jnp.linalg.solve(H, g)
+        dX = solve3x3(H, g)
         dX = jnp.clip(dX, -100.0, 100.0)  # f32 overflow guard
         return X - dX, None
 

@@ -7,13 +7,16 @@ orthonormal projections (zero H row => zero Kalman gain column).
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from visma_tpu.filter.config import FilterConfig
 from visma_tpu.filter.state import FilterState
 from visma_tpu.filter.triangulate import project, triangulate
-from visma_tpu.geom.rotations import hat, mm
+from visma_tpu.geom.rotations import einsum_hp, hat, mm
 
 
 def feature_jacobians(cfg: FilterConfig, X, obs, mask, win_R, win_p):
@@ -44,26 +47,53 @@ def feature_jacobians(cfg: FilterConfig, X, obs, mask, win_R, win_p):
     Hp = -jnp.einsum("mab,mbc->mac", Jp, Rt)             # (M,2,3)
     Hf = jnp.einsum("mab,mbc->mac", Jp, Rt)              # (M,2,3)
 
-    # scatter into the big Jacobian: clone m occupies [15+6m, 15+6m+6)
-    Hx = jnp.zeros((M, 2, D), jnp.float32)
-    cols = 15 + 6 * jnp.arange(M)
-    Hx = jax.vmap(
-        lambda h, hp, c: jax.lax.dynamic_update_slice(
-            jnp.zeros((2, D), jnp.float32),
-            jnp.concatenate([h, hp], axis=-1), (0, c))
-    )(Htheta, Hp, cols)
+    # scatter into the big Jacobian: clone m occupies [15+6m, 15+6m+6).
+    # STATIC placement via a constant one-hot (M,6,D) einsum — exact
+    # (every output element sums exactly one product) and one fused
+    # matmul instead of M vmapped dynamic_update_slices (measured 2x on
+    # this stage, tools/profile_filter.py).
+    blocks = jnp.concatenate([Htheta, Hp], axis=-1)      # (M,2,6)
+    Hx = einsum_hp("mab,mbd->mad", blocks, _clone_placement(M, D))
 
     return r.reshape(2 * M), Hx.reshape(2 * M, D), Hf.reshape(2 * M, 3)
 
 
-def nullspace_project(r, Hx, Hf):
-    """Left-nullspace projection of the landmark Jacobian.
+@functools.lru_cache(maxsize=8)
+def _clone_placement(M: int, D: int) -> np.ndarray:
+    """Constant (M, 6, D) one-hot: E[m, j, 15 + 6m + j] = 1. Cached as
+    NUMPY (a cached jnp array created under a trace leaks the tracer)."""
+    E = np.zeros((M, 6, D), np.float32)
+    for m in range(M):
+        E[m, np.arange(6), 15 + 6 * m + np.arange(6)] = 1.0
+    return E
 
-    QR(Hf) complete -> N = Q[:, 3:]; returns (N^T r, N^T Hx) with 2M-3 rows.
-    """
-    Q, _ = jnp.linalg.qr(Hf, mode="complete")
-    N = Q[:, 3:]
-    return N.T @ r, N.T @ Hx
+
+def nullspace_project(r, Hx, Hf):
+    """Left-nullspace projection of the landmark Jacobian: rows 3: of
+    Q^T [r | Hx] where Hf = Q R.
+
+    Q^T is applied as THREE explicit Householder reflections (Hf has 3
+    columns) — fused rank-1 updates instead of XLA's generic QR loop
+    (measured faster in tools/profile_filter.py; the projected quantities
+    are basis-invariant so any orthonormal nullspace basis is valid).
+    Masked (all-zero) feature rows have v = 0 there, so they remain EXACT
+    zeros through every reflection (the repo-wide masking convention);
+    an all-zero Hf yields beta = 0 (identity), passing zeros through.
+    Returns (N^T r, N^T Hx) with 2M-3 rows."""
+    n = Hf.shape[0]
+    A = Hf
+    B = jnp.concatenate([r[:, None], Hx], axis=1)
+    rows = jnp.arange(n)
+    for k in range(3):
+        x = jnp.where(rows >= k, A[:, k], 0.0)
+        nx = jnp.linalg.norm(x)
+        sign = jnp.where(x[k] >= 0, 1.0, -1.0)
+        v = x.at[k].add(sign * nx)
+        vtv = jnp.dot(v, v)
+        beta = jnp.where(vtv > 1e-20, 2.0 / jnp.maximum(vtv, 1e-20), 0.0)
+        A = A - beta * jnp.outer(v, v @ A)
+        B = B - beta * jnp.outer(v, v @ B)
+    return B[3:, 0], B[3:, 1:]
 
 
 def chi2_gate(cfg: FilterConfig, r_proj, H_proj, P, dof_scale: float = 8.0):
