@@ -114,10 +114,17 @@ def main(argv=None):
         g0 = loader.pose(0)
         R0, p0 = g0[:, :3], g0[:, 3]
         ref_p = np.stack([loader.pose(i)[:, 3] for i in range(len(loader))])
+        # VISMA packets stamp microseconds (filenames like
+        # 1520535134297896); IMU npz files stamp seconds. Normalize ONCE
+        # here and use ts_norm for IMU windowing, v0, and export in BOTH
+        # modes so stamp units always agree (ADVICE r3 #1).
+        ts_norm = np.asarray([pk.ts for pk in ds.packets], np.float64)
+        if len(ts_norm) > 1 and np.median(np.diff(ts_norm)) > 1.0:
+            ts_norm = ts_norm * 1e-6
         if imu is not None:
             v0 = imu["v0"]
         else:
-            dt0 = max(ds.packets[1].ts - ds.packets[0].ts, 1e-6)
+            dt0 = max(float(ts_norm[1] - ts_norm[0]), 1e-6)
             v0 = (ref_p[1] - ref_p[0]) / dt0
 
     from visma_tpu.filter.msckf import check_health
@@ -144,11 +151,7 @@ def main(argv=None):
                     img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
                 imgs.append(img.astype(np.float32))
             images = np.stack(imgs)
-            ts = np.asarray([pk.ts for pk in ds.packets], np.float64)
-            # VISMA stamps are microseconds (filenames like
-            # 1520535134297896); normalize to seconds for the filter
-            if np.median(np.diff(ts)) > 1.0:
-                ts = ts * 1e-6
+            ts = ts_norm
         N = len(images)
         S = cfg.imu_per_frame
         gyro = np.zeros((N - 1, S, 3), np.float32)
@@ -157,7 +160,10 @@ def main(argv=None):
         if imu is None:
             dts[:, -1] = np.diff(ts)
         else:
-            packed = pack_frames(cfg, ds, imu, max_feats=args.max_tracks)
+            # normalized ts passed through so IMU windows match frame
+            # stamps in the same units (ADVICE r3 #1)
+            packed = pack_frames(cfg, ds, imu, max_feats=args.max_tracks,
+                                 ts=None if args.synthetic else ts_norm)
             gyro = packed["gyro"][1:]
             accel = packed["accel"][1:]
             dts = packed["dts"][1:]
@@ -187,9 +193,9 @@ def main(argv=None):
         obs_xp = np.asarray(outs["obs_xp"])
         obs_valid = np.asarray(outs["obs_valid"])
     else:
-        frames = {k: jnp.asarray(v)
-                  for k, v in pack_frames(cfg, ds, imu,
-                                          max_feats=args.max_tracks).items()
+        packed = pack_frames(cfg, ds, imu, max_feats=args.max_tracks,
+                             ts=None if args.synthetic else ts_norm)
+        frames = {k: jnp.asarray(v) for k, v in packed.items()
                   if k != "ts"}
         kf = Msckf(cfg)
         s0 = kf.init(R0=R0, p0=p0, v0=v0)
@@ -207,7 +213,8 @@ def main(argv=None):
         # health gate: abort with a structured error on divergence instead
         # of exporting NaN poses
         check_health(outs)
-        ts_out = np.asarray([pk.ts for pk in ds.packets])
+        # export stamps in the SAME (normalized) units as --images mode
+        ts_out = packed["ts"]
         obs_ids = np.asarray(frames["ids"])
         obs_xp = np.asarray(frames["xp"])
         obs_valid = np.asarray(frames["valid"])

@@ -50,8 +50,15 @@ def solve3x3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     c21 = a01 * a20 - a00 * a21
     c22 = a00 * a11 - a01 * a10
     det = a00 * c00 + a01 * c10 + a02 * c20
-    # NOTE c is laid out as the TRANSPOSED cofactor matrix (adjugate rows)
-    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    # NOTE c is laid out as the TRANSPOSED cofactor matrix (adjugate rows).
+    # Sign-preserving clamp: |det| floors at 1e-20 WITHOUT flipping the
+    # sign of tiny negative determinants (ADVICE r3 #3 — a plain
+    # where(|det|<eps, eps, det) silently negates the solution for
+    # near-singular indefinite systems; current callers are PSD+ridge but
+    # this helper is generically named).
+    safe = jnp.where(det < 0, jnp.minimum(det, -1e-20),
+                     jnp.maximum(det, 1e-20))
+    inv_det = 1.0 / safe
     b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
     x0 = (c00 * b0 + c01 * b1 + c02 * b2) * inv_det
     x1 = (c10 * b0 + c11 * b1 + c12 * b2) * inv_det

@@ -135,8 +135,13 @@ def render_adversarial_frames(cfg: SyntheticConfig, sigma: float = 2.0,
 
     tex = _bg_texture(rng)
     oh, ow = int(H * occluder_size[0]), int(W * occluder_size[1])
+    # texture sized to the occluder (ADVICE r3 #4: a fixed 256x256 slice
+    # underfills oh/ow for frames taller than ~731 px and the paint
+    # assignment below then shape-mismatches)
+    occ_size = max(256, 1 + (max(oh, ow) | 7))
     occ_tex = (background
-               + bg_amplitude * 1.5 * _bg_texture(rng, size=256, octaves=5)
+               + bg_amplitude * 1.5 * _bg_texture(rng, size=occ_size,
+                                                  octaves=5)
                )[:oh, :ow].astype(np.float32)
     # occluder sweep schedule: start frame and vertical center per sweep
     sweep_len = max(N // (2 * max(occluders, 1)), 4) if occluders else 0

@@ -51,7 +51,11 @@ def _shim(name: str, inner_cls, enum_attrs=None):
             return self._m.encode()
 
         def CopyFrom(self, other) -> None:
-            object.__setattr__(self, "_m", other._m)
+            # deep copy (protobuf CopyFrom semantics): re-decode through
+            # the wire so later mutation of either message stays private
+            # (ADVICE r3 #2 — aliasing other._m leaked shared state)
+            src = object.__getattribute__(other, "_m")
+            object.__setattr__(self, "_m", type(src).decode(src.encode()))
 
         # -- field access -------------------------------------------------
         def __getattr__(self, attr):

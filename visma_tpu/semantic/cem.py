@@ -346,12 +346,15 @@ def refine_pose_cem_batched(mrenderer, observed_edges: jnp.ndarray,
     best_score = np.full(n, np.inf)
 
     mi = jnp.asarray(mesh_idx, jnp.int32)
-    origins = None if roi is None else _roi_origins(
-        jnp.asarray(init_poses[:, :3, 3]), mrenderer.intr, roi)
     for _ in range(iters):
         xi = rng.standard_normal((n, samples, 6)).astype(np.float32) \
             * sig[:, None, :]
         xi[:, 0] = 0.0  # always include the current means
+        # recenter the window on the CURRENT mean each iteration, matching
+        # _cem_fused (ADVICE r3 #5: origins frozen at init diverge from
+        # the fused path when the mean migrates toward a window edge)
+        origins = None if roi is None else _roi_origins(
+            jnp.asarray(mean_t), mrenderer.intr, roi)
         scores = np.asarray(_cem_render_score(
             mrenderer.Vs, mrenderer.Fs, mi, jnp.asarray(mean_R),
             jnp.asarray(mean_t), jnp.asarray(xi), occ, dt, obs,
