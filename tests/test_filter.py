@@ -114,12 +114,30 @@ class TestIngest:
         st = np.asarray(tr.status)[np.asarray(tr.ids) >= 0]
         assert (st == int(FeatureStatus.READY)).all()
 
-        # third frame: only id 10 -> 11 lost (GOODDROP)
+        # third frame: only id 10 -> 11 lost with 2 obs < min_track_obs:
+        # dropped WITHOUT absorption = REJECT (immature loss); 10 keeps
+        # tracking but has no absorbed world point yet, so it stays READY
+        # (INSTATE requires xw — the GrabPointCloud contract)
         valid2 = jnp.array([True] + [False] * 7)
         tr, lost = _ingest(cfg, tr, ids, xp, valid2)
         ids_np = np.asarray(tr.ids)
         assert int(np.asarray(lost)[ids_np == 11][0]) == 1
-        assert np.asarray(tr.status)[ids_np == 11][0] == int(FeatureStatus.GOODDROP)
+        assert np.asarray(tr.status)[ids_np == 11][0] == int(FeatureStatus.REJECT)
+        assert np.asarray(tr.status)[ids_np == 10][0] == int(FeatureStatus.READY)
+
+        # a mature lost track (nobs >= min_track_obs) is GOODDROP
+        valid3 = jnp.array([False] * 8)
+        tr, lost = _ingest(cfg, tr, ids, xp, valid3)
+        ids_np = np.asarray(tr.ids)
+        assert np.asarray(tr.status)[ids_np == 10][0] == int(FeatureStatus.GOODDROP)
+
+        # an absorbed continuing track is INSTATE: plant xw and re-observe
+        tr = TrackTable(ids=tr.ids, status=tr.status, obs=tr.obs,
+                        mask=tr.mask,
+                        xw=tr.xw.at[np.nonzero(ids_np == 10)[0][0]].set(
+                            jnp.array([1.0, 2.0, 3.0])))
+        tr, lost = _ingest(cfg, tr, ids, xp, valid2)
+        ids_np = np.asarray(tr.ids)
         assert np.asarray(tr.status)[ids_np == 10][0] == int(FeatureStatus.INSTATE)
 
     def test_obs_alignment(self):

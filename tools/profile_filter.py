@@ -94,7 +94,7 @@ def variants(cfg):
         sel, sel_valid = _select_for_update(cfg, tracks, lost)
         obs = tracks.obs[sel]
         mask = tracks.mask[sel]
-        s, used, X = msckf_update(cfg, s, obs, mask, sel_valid)
+        s, used, rejected, X = msckf_update(cfg, s, obs, mask, sel_valid)
         return s
 
     def v_full(s, f):

@@ -177,17 +177,33 @@ def _ingest(cfg: FilterConfig, tracks: TrackTable, ids, xp, valid):
                     jnp.zeros_like(obs).at[:, M - 1].set(xp[src]), obs)
     mask = jnp.where(take[:, None],
                      jnp.zeros_like(mask).at[:, M - 1].set(True), mask)
+    # recycled slots must not inherit the previous occupant's absorbed
+    # world point (has_xw below keys the INSTATE status)
+    xw = jnp.where(take[:, None], 0.0, tracks.xw)
 
-    # status transitions (vlslam lifecycle)
+    # status transitions (vlslam lifecycle). Lost tracks split by
+    # maturity: mature ones are about to be absorbed by the update
+    # (GOODDROP — "retired in good standing", the tracks GrabPointCloud
+    # keeps, dataloader.cpp:136-164); immature ones are dropped WITHOUT
+    # absorption (REJECT), so their zero xw never pollutes INSTATE|
+    # GOODDROP-filtered point clouds.
     nobs = jnp.sum(mask, axis=1)
     live = ids_new >= 0
     lost = live & ~mask[:, M - 1] & (nobs > 0)
+    drop_status = jnp.where(nobs >= cfg.min_track_obs,
+                            int(FeatureStatus.GOODDROP),
+                            int(FeatureStatus.REJECT))
+    # INSTATE additionally requires an absorbed world point (xw set by a
+    # previous update; the track continues via the KEEP path) so that
+    # INSTATE never exports a zero xw; tracked-but-not-yet-absorbed
+    # features stay READY however long their window grows.
+    has_xw = jnp.any(xw != 0.0, axis=1)
     status = jnp.where(
         ~live, int(FeatureStatus.EMPTY),
-        jnp.where(lost, int(FeatureStatus.GOODDROP),
+        jnp.where(lost, drop_status,
                   jnp.where(nobs <= 1, int(FeatureStatus.INITIALIZING),
-                            jnp.where(nobs == 2, int(FeatureStatus.READY),
-                                      int(FeatureStatus.INSTATE))))
+                            jnp.where(has_xw, int(FeatureStatus.INSTATE),
+                                      int(FeatureStatus.READY))))
     ).astype(jnp.int32)
 
     # fully-expired tracks (no obs left in window) free their slot
@@ -196,7 +212,7 @@ def _ingest(cfg: FilterConfig, tracks: TrackTable, ids, xp, valid):
     status = jnp.where(expired, int(FeatureStatus.EMPTY), status)
 
     return TrackTable(ids=ids_new, status=status, obs=obs, mask=mask,
-                      xw=tracks.xw), lost
+                      xw=xw), lost
 
 
 def _select_for_update(cfg: FilterConfig, tracks: TrackTable, lost):
@@ -336,13 +352,18 @@ def _frame_step_inner(cfg: FilterConfig, state: FilterState,
     sel, sel_valid = _select_for_update(cfg, tracks, lost)
     sel_obs = tracks.obs[sel]
     sel_mask = tracks.mask[sel]
-    state, used, X = msckf_update(cfg, state, sel_obs, sel_mask, sel_valid)
+    state, used, rejected, X = msckf_update(cfg, state, sel_obs, sel_mask,
+                                            sel_valid)
     # record triangulated points; retire consumed observations.
     # Tracks that are still being observed (used because the window filled)
     # keep ONLY their newest observation, so they re-mature in
     # min_track_obs-1 frames instead of restarting from scratch
     # (OpenVINS-style feature continuation); fully lost tracks free their
-    # slot.
+    # slot. Update candidates that FAILED the chi2/finite gate export as
+    # REJECT for this frame (vlslam.proto:11-19) with their window
+    # history cleared: an outlier track restarts from its next
+    # observation (or expires unseen), instead of silently keeping its
+    # pre-gate status (VERDICT r3 missing #2).
     M = cfg.window
     xw = state.tracks.xw.at[sel].set(
         jnp.where(used[:, None], X, state.tracks.xw[sel]))
@@ -374,15 +395,22 @@ def _frame_step_inner(cfg: FilterConfig, state: FilterState,
     newest_only = jnp.zeros_like(sel_mask_now).at[:, M - 1].set(True)
     new_sel_mask = jnp.where(
         keep[:, None], sel_mask_now & newest_only,
-        jnp.where(drop[:, None], jnp.zeros_like(sel_mask_now), sel_mask_now))
+        jnp.where((drop | rejected)[:, None], jnp.zeros_like(sel_mask_now),
+                  sel_mask_now))
 
-    freed_ids = state.tracks.ids.at[sel].set(
-        jnp.where(drop, -1, state.tracks.ids[sel]))
+    # dropped/rejected slots keep their id for THIS frame's export (so
+    # consumers see the GOODDROP/REJECT outcome, like Corvis emitted it)
+    # and expire naturally next frame via the cleared mask — unless the
+    # frontend re-finds the id, in which case the track continues
+    # (absorbed xw intact -> INSTATE once re-mature)
+    freed_ids = state.tracks.ids
     freed_status = state.tracks.status.at[sel].set(
         jnp.where(prom_sel, int(FeatureStatus.INSTATE),
                   jnp.where(drop, int(FeatureStatus.GOODDROP),
-                            jnp.where(keep, int(FeatureStatus.INITIALIZING),
-                                      state.tracks.status[sel]))))
+                            jnp.where(rejected, int(FeatureStatus.REJECT),
+                                      jnp.where(keep,
+                                                int(FeatureStatus.KEEP),
+                                                state.tracks.status[sel])))))
     freed_mask = state.tracks.mask.at[sel].set(new_sel_mask)
     tracks = TrackTable(ids=freed_ids, status=freed_status,
                         obs=state.tracks.obs, mask=freed_mask, xw=xw)

@@ -115,7 +115,14 @@ def msckf_update(cfg: FilterConfig, state: FilterState,
     """Batched MSCKF update over selected features.
 
     sel_obs (U, M, 2), sel_mask (U, M) observation masks, sel_valid (U,)
-    feature-level validity. Returns (new_state, used (U,) bool).
+    feature-level validity. Returns (new_state, used (U,) bool,
+    rejected (U,) bool, X (U,3) triangulated points).
+
+    rejected marks update CANDIDATES (valid, enough observations) the
+    filter looked at this frame and threw out WITHOUT absorbing — failed
+    triangulation or the chi2/finite gate — the proto lifecycle's REJECT
+    outcome (vlslam.proto:11-19). used and rejected are disjoint and
+    their union is the candidate set.
     """
     M, D = cfg.window, cfg.dim
     U = sel_obs.shape[0]
@@ -128,7 +135,8 @@ def msckf_update(cfg: FilterConfig, state: FilterState,
         lambda o, m: triangulate(cfg, o, m, state.win_R, state.win_p)
     )(sel_obs, sel_mask)
 
-    use = sel_valid & tri_ok & (jnp.sum(sel_mask, axis=1) >= cfg.min_track_obs)
+    candidate = sel_valid & (jnp.sum(sel_mask, axis=1) >= cfg.min_track_obs)
+    use = candidate & tri_ok
 
     r, Hx, Hf = jax.vmap(
         lambda x, o, m: feature_jacobians(cfg, x, o, m, state.win_R,
@@ -141,6 +149,7 @@ def msckf_update(cfg: FilterConfig, state: FilterState,
     finite = jnp.all(jnp.isfinite(rp), axis=1) & \
         jnp.all(jnp.isfinite(Hp.reshape(U, -1)), axis=1)
     use = use & gate & finite
+    rejected = candidate & ~use
 
     # zero out unused features entirely (where, not multiply: NaN * 0 = NaN)
     rp = jnp.where(use[:, None], rp, 0.0)
@@ -177,7 +186,7 @@ def msckf_update(cfg: FilterConfig, state: FilterState,
 
     state = apply_correction(cfg, state, dx).replace(P=P_new)
     # store triangulated points for export/diagnostics
-    return state, use, X
+    return state, use, rejected, X
 
 
 def apply_correction(cfg: FilterConfig, state: FilterState,
