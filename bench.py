@@ -124,47 +124,71 @@ def bench_pipeline():
     return fps, ate
 
 
-def bench_semantic(m_objects=4, n_frames=12, cem_iters=5, cem_samples=48):
-    # cem defaults = SemanticMapper's shipped settings: the ROI-windowed
-    # fused CEM made the mapper's FULL quality point affordable (r2 benched
-    # a reduced 4x32 point to fit the per-iteration dispatch RTT)
-    """Multi-object semantic mapping at VISMA geometry: M objects tracked
-    jointly by CEM over batched MultiMeshRenderer renders (the TPU-native
-    replacement for the reference's one-hypothesis-per-GL-draw loop,
-    renderer.cpp:321-400). Returns (fps, mean_trans_err_m,
-    mean_rot_err_deg)."""
+def bench_semantic(m_objects=4, n_frames=15, cem_iters=5, cem_samples=48):
+    """Multi-object semantic mapping at VISMA geometry on REAL CAD-scale
+    meshes: the reference's own 5k-face aeron chair
+    (misc/hermanmiller_aeron.obj, the mesh render_depth.cpp and the papers'
+    evaluation consume) + a procedural 5.1k-face desk, tracked jointly by
+    CEM over batched MultiMeshRenderer renders — the TPU-native replacement
+    for the reference's one-hypothesis-per-GL-draw loop
+    (renderer.cpp:321-400), measured on the substrate that loop actually
+    ran on (r3 benched 24-face toy boxes, ~200x lighter; the box's square
+    cross-section also made yaw unobservable — the 21.6 deg outlier).
+
+    Steady-state economics: tracks spawn with the full CEM schedule
+    (5x48, full-frame then ROI), then anneal to a settled polish schedule
+    — the measured number is the settled steady state, spawn frames are
+    warmup. Accuracy gates sit INSIDE the reference's own evaluation
+    envelope: mean translation error < 0.05 m (the reference's ICP
+    matcher uses max_distance 0.075 m, cfg/tool.json:25-32), mean
+    rotation < 5 deg, worst object < 10 deg.
+
+    Returns (fps, mean_trans_err_m, mean_rot_err_deg, per_object_errs).
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
     from scipy.spatial.transform import Rotation
 
-    from visma_tpu.cli.run_semantic import _demo_meshes
     from visma_tpu.image.edges import depth_edge
+    from visma_tpu.io.procedural import bench_mesh_db
     from visma_tpu.render import Intrinsics
     from visma_tpu.semantic import SemanticMapper
     from visma_tpu.semantic.mapper import ObjectTrack
 
     intr = Intrinsics(fx=486.405, fy=535.401, cx=469.199, cy=257.916,
-                      rows=500, cols=960, z_near=0.05, z_far=5.0)
-    db = _demo_meshes()
-    names = (["lchair", "box"] * ((m_objects + 1) // 2))[:m_objects]
+                      rows=500, cols=960, z_near=0.05, z_far=8.0)
+    db = bench_mesh_db()
+    n_faces = {n: len(F) for n, (_, F) in db.items()}
+    names = (["chair", "desk"] * ((m_objects + 1) // 2))[:m_objects]
     rng = np.random.default_rng(3)
 
-    # GT object poses: spread across the view, gravity-aligned yaw
+    # GT object poses: chairs flanking, desks center, alternating depth —
+    # screen footprints disjoint (the occluder-render skip path), every
+    # object fully in view at 500x960
+    slots = [(-1.5, 2.75), (-0.65, 3.1), (0.65, 3.1), (1.5, 2.75)]
     T_gt = []
     for k in range(m_objects):
         T = np.eye(4)
         T[:3, :3] = Rotation.from_euler("y", rng.uniform(-0.6, 0.6)
                                         ).as_matrix()
-        T[:3, 3] = [(-0.75 + 1.5 * k / max(m_objects - 1, 1)),
-                    rng.uniform(-0.1, 0.1), 2.0 + 0.3 * (k % 2)]
+        x, z = slots[k % len(slots)]
+        T[:3, 3] = [x, rng.uniform(-0.1, 0.1), z]
         T_gt.append(T)
 
     # roi: settled tracks render+score hypotheses in a 256x256 window
     # around each object instead of the full 500x960 frame — exact while
-    # footprints fit (render/raster.py ROI paths), ~7x fewer pixels
+    # footprints fit (render/raster.py ROI paths), ~7x fewer pixels;
+    # annealed settled schedule: see SemanticMapper docstring
+    # async_frames: settled steady state keeps track poses device-
+    # resident and pipelines one fused dispatch per frame — the per-frame
+    # host sync costs a full ~25 ms relay round-trip otherwise
     mapper = SemanticMapper(intr, db, cem_iters=cem_iters,
-                            cem_samples=cem_samples, roi=(256, 256))
+                            cem_samples=cem_samples, roi=(256, 256),
+                            settle_age=2, settled_iters=3,
+                            settled_samples=32,
+                            settled_sigma=(0.06, 0.03),
+                            async_frames=16)
     mesh_idx = np.array([mapper.mrenderer.index(n) for n in names],
                        np.int32)
 
@@ -184,10 +208,14 @@ def bench_semantic(m_objects=4, n_frames=12, cem_iters=5, cem_samples=48):
     # previously cost 100-550 s of relay RTT + pool variance here)
     mi = jnp.broadcast_to(jnp.asarray(mesh_idx), (n_frames, m_objects))
     d = mapper.mrenderer.render_depth(jnp.asarray(all_poses), mi)
-    edge_frames = np.asarray(
-        jax.vmap(lambda di: depth_edge(jnp.min(di, axis=0)))(d))
-    log(f"semantic: rendered {n_frames} GT edge frames in "
-        f"{time.time() - t0:.1f}s")
+    # stays ON DEVICE: mapper.step consumes device-resident edge maps
+    # without a host round-trip (production path: depth_edge output is
+    # already on-chip); materializing here would cost ~2 MB/frame D2H+H2D
+    # through the relay
+    edge_frames = jax.vmap(lambda di: depth_edge(jnp.min(di, axis=0)))(d)
+    jax.block_until_ready(edge_frames)
+    log(f"semantic: rendered {n_frames} GT edge frames "
+        f"({n_faces} faces) in {time.time() - t0:.1f}s")
 
     # seed tracks at perturbed GT poses (the refinement workload)
     for k in range(m_objects):
@@ -199,7 +227,9 @@ def bench_semantic(m_objects=4, n_frames=12, cem_iters=5, cem_samples=48):
                                        pose_wm=T0)
     mapper._next_id = m_objects
 
-    warmup = 2
+    # warmup covers all three jit variants: frame 0 full-frame spawn
+    # schedule, frame 1 ROI full schedule, frame 2 ROI settled schedule
+    warmup = 3
     t0 = time.time()
     for i in range(warmup):
         mapper.step(gwc_at(i), edge_frames[i])
@@ -208,6 +238,7 @@ def bench_semantic(m_objects=4, n_frames=12, cem_iters=5, cem_samples=48):
     t0 = time.time()
     for i in range(warmup, n_frames):
         mapper.step(gwc_at(i), edge_frames[i])
+    mapper.finalize()   # drain the pipelined dispatches: honest timing
     dt = time.time() - t0
     fps = (n_frames - warmup) / dt
 
@@ -222,10 +253,16 @@ def bench_semantic(m_objects=4, n_frames=12, cem_iters=5, cem_samples=48):
         f"({dt / (n_frames - warmup) * 1e3:.0f} ms/frame), "
         f"trans err {[round(x, 3) for x in terr]} m, "
         f"rot err {[round(x, 1) for x in rerr]} deg")
-    # accuracy gates: the speed is of a WORKING mapper
-    assert t_mean < 0.10, f"semantic trans gate failed: {t_mean:.3f} m"
-    assert r_mean < 12.0, f"semantic rot gate failed: {r_mean:.1f} deg"
-    return fps, t_mean, r_mean
+    # accuracy gates: the speed is of a WORKING mapper, judged inside the
+    # reference's own ICP matching radius (0.075 m)
+    assert t_mean < 0.05, f"semantic trans gate failed: {t_mean:.3f} m"
+    assert r_mean < 5.0, f"semantic rot gate failed: {r_mean:.1f} deg"
+    assert max(rerr) < 10.0, \
+        f"semantic worst-object rot gate failed: {max(rerr):.1f} deg"
+    per_object = {"trans_err_m": [round(x, 4) for x in terr],
+                  "rot_err_deg": [round(x, 2) for x in rerr],
+                  "mesh_faces": n_faces}
+    return fps, t_mean, r_mean, per_object
 
 
 def bench_filter_only():
@@ -283,13 +320,14 @@ def main():
 
     semantic = None
     try:
-        sem_fps, sem_t, sem_r = bench_semantic()
+        sem_fps, sem_t, sem_r, sem_po = bench_semantic()
         semantic = {
             "metric": "semantic_mapping_frames_per_sec_4obj_500x960",
             "value": round(sem_fps, 2),
             "unit": "frames/s",
             "object_trans_err_m": round(sem_t, 4),
             "object_rot_err_deg": round(sem_r, 2),
+            "per_object": sem_po,
         }
     except Exception as e:  # sub-metric must not sink the headline
         log(f"semantic bench failed: {e}")

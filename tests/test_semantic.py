@@ -9,6 +9,7 @@ from scipy.spatial.transform import Rotation
 from visma_tpu.proto import BoundingBox, BoundingBoxList
 from visma_tpu.render import Intrinsics, Renderer
 from visma_tpu.semantic import SemanticMapper, refine_pose_cem
+from visma_tpu.semantic.mapper import ObjectTrack
 
 
 def l_mesh():
@@ -440,3 +441,80 @@ class TestRoiCem:
             mapper.step(gwc0, edges_t)      # settled: ROI path
         tr = next(iter(mapper.tracks.values()))
         assert np.linalg.norm(tr.pose_wm[:3, 3] - T_t[:3, 3]) < 0.12
+
+
+class TestAsyncSteadyState:
+    """Device-resident settled-state stepping (SemanticMapper
+    async_frames>0): pipelined dispatches must produce the same tracks
+    and result packets as the per-frame-synced path."""
+
+    def _run(self, async_frames):
+        from scipy.spatial.transform import Rotation
+
+        from visma_tpu.image.edges import depth_edge
+
+        def box(sx, sy, sz):
+            V = np.array([[x, y, z] for x in (-sx, sx) for y in (-sy, sy)
+                          for z in (-sz, sz)], np.float32) * 0.5
+            F = np.array([[0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                          [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                          [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3]],
+                         np.int32)
+            return V, F
+
+        db = {"a": box(0.5, 1.2, 0.6), "b": box(0.9, 0.4, 0.5)}
+        T_gt = []
+        for k, (x, z) in enumerate([(-0.5, 2.2), (0.5, 2.4)]):
+            T = np.eye(4)
+            T[:3, :3] = Rotation.from_euler("y", 0.3 - 0.2 * k).as_matrix()
+            T[:3, 3] = [x, 0, z]
+            T_gt.append(T)
+        names = ["a", "b"]
+
+        mapper = SemanticMapper(INTR, db, cem_iters=3, cem_samples=12,
+                                roi=(64, 64), settle_age=2,
+                                settled_iters=2, settled_samples=8,
+                                settled_sigma=(0.05, 0.03),
+                                async_frames=async_frames)
+        rng = np.random.default_rng(0)
+        for k in range(2):
+            T0 = T_gt[k].copy()
+            T0[:3, 3] += rng.uniform(-0.05, 0.05, 3)
+            mapper.tracks[k] = ObjectTrack(oid=k, model_name=names[k],
+                                           pose_wm=T0)
+        mapper._next_id = 2
+        mi = np.array([mapper.mrenderer.index(n) for n in names], np.int32)
+
+        for i in range(7):
+            gwc = np.hstack([np.eye(3), np.array([[0.01 * i], [0.], [0.]])])
+            G = np.eye(4)
+            G[:3, :4] = gwc
+            Gc = np.linalg.inv(G)
+            poses = np.stack([(Gc @ T)[:3, :4]
+                              for T in T_gt]).astype(np.float32)
+            d = mapper.mrenderer.render_depth(jnp.asarray(poses),
+                                              jnp.asarray(mi))
+            mapper.step(gwc, depth_edge(jnp.min(d, axis=0)))
+        mapper.finalize()
+        return mapper, T_gt
+
+    def test_async_matches_sync(self, tmp_path):
+        ms, T_gt = self._run(0)
+        ma, _ = self._run(4)
+        for k in range(2):
+            np.testing.assert_allclose(ma.tracks[k].pose_wm,
+                                       ms.tracks[k].pose_wm, atol=5e-4)
+            # both land near the planted object (coarse: parity above is
+            # the real assertion; toy-box convergence is tuned elsewhere)
+            assert np.linalg.norm(
+                ma.tracks[k].pose_wm[:3, 3] - T_gt[k][:3, 3]) < 0.2
+        # lazy history materializes into reference-layout packets
+        out = tmp_path / "r.json"
+        ma.write_result_json(str(out))
+        packets = json.loads(out.read_text())
+        assert len(packets) == 7
+        assert all(isinstance(p, list) and len(p) == 2 for p in packets)
+        sync_last = ms.history[-1]
+        for oa, os_ in zip(packets[-1], sync_last):
+            np.testing.assert_allclose(oa["model_pose"], os_["model_pose"],
+                                       atol=5e-4)

@@ -1,12 +1,15 @@
 """Sweep adversarial-imagery stress parameters and record pipeline ATE.
 
-Justifies the bench/test gate operating points (VERDICT r2 item 4): runs
-the full image pipeline over a grid of sensor-noise sigmas (and an
-occluder on/off axis) on the adversarial generator, reporting ATE and the
-mean live-track count. Writes a markdown table (default
-docs/NOISE_SWEEP.md).
+Justifies the bench/test gate operating points (VERDICT r2 item 4, r3
+item 8): runs the full image pipeline over a grid of sensor-noise sigmas,
+an occluder on/off axis, and a MOTION-SCALE axis (orbit angular rate
+multiplier — drives per-frame feature displacement toward the fused-KLT
+window margin) on the adversarial generator, reporting ATE, the mean
+live-track count, and the measured mean/max per-frame feature
+displacement. Writes a markdown table (default docs/NOISE_SWEEP.md).
 
     python tools/noise_sweep.py [--cpu] [--rows 240 --cols 320]
+    python tools/noise_sweep.py --headline   # 500x960 VISMA geometry
 """
 from __future__ import annotations
 
@@ -15,7 +18,36 @@ import sys
 import time
 
 
-def run_point(syn, cfg, noise_sigma, occluders, levels=3, cell=32):
+def _displacement_stats(syn, gwc, X):
+    """Mean/max per-frame px displacement of visible landmarks (numpy)."""
+    import numpy as np
+
+    from visma_tpu.io.synthetic import project
+
+    ds = []
+    prev_uv = prev_ok = None
+    for i in range(syn.num_frames):
+        uv = np.empty((len(X), 2))
+        R, t = gwc[i, :, :3], gwc[i, :, 3]
+        Xc = (X - t) @ R
+        z = Xc[:, 2]
+        ok = z > 0.1
+        zs = np.where(ok, z, 1.0)
+        uv[:, 0] = syn.fx * Xc[:, 0] / zs + syn.cx
+        uv[:, 1] = syn.fy * Xc[:, 1] / zs + syn.cy
+        ok &= ((uv[:, 0] >= 0) & (uv[:, 0] < syn.cols)
+               & (uv[:, 1] >= 0) & (uv[:, 1] < syn.rows))
+        if prev_uv is not None:
+            both = ok & prev_ok
+            if both.any():
+                ds.append(np.linalg.norm(uv[both] - prev_uv[both], axis=1))
+        prev_uv, prev_ok = uv, ok
+    import numpy as np
+    all_d = np.concatenate(ds) if ds else np.zeros(1)
+    return float(all_d.mean()), float(np.percentile(all_d, 99))
+
+
+def run_point(syn, cfg, noise_sigma, occluders, levels=4, cell=32):
     import jax.numpy as jnp
     import numpy as np
 
@@ -46,15 +78,20 @@ def run_point(syn, cfg, noise_sigma, occluders, levels=3, cell=32):
     p = np.asarray(outs["p"])
     ate = float(np.sqrt(np.mean(np.sum((p - gwc[1:, :, 3]) ** 2, axis=1))))
     live = float(np.asarray(outs["obs_valid"]).sum(axis=1).mean())
-    return ate, live, ok
+    d_mean, d_p99 = _displacement_stats(syn, gwc, X)
+    return ate, live, ok, d_mean, d_p99
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--headline", action="store_true",
+                    help="500x960 VISMA geometry with the bench intrinsics")
     ap.add_argument("--rows", type=int, default=240)
     ap.add_argument("--cols", type=int, default=320)
     ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--motions", type=float, nargs="*",
+                    default=[1.0, 2.0, 3.0])
     ap.add_argument("--output", default="docs/NOISE_SWEEP.md")
     args = ap.parse_args(argv)
 
@@ -66,45 +103,58 @@ def main(argv=None):
     from visma_tpu.filter import FilterConfig
     from visma_tpu.io.synthetic import SyntheticConfig
 
-    f = 240.0 * args.cols / 320.0
-    syn = SyntheticConfig(num_frames=args.frames, num_landmarks=240,
-                          rows=args.rows, cols=args.cols, fx=f, fy=f,
-                          cx=(args.cols - 1) / 2, cy=(args.rows - 1) / 2,
-                          seed=7)
-    cfg = FilterConfig(window=8, max_tracks=96, max_updates=24,
-                       fx=syn.fx, fy=syn.fy, cx=syn.cx, cy=syn.cy,
-                       pixel_noise=1.0)
+    if args.headline:
+        args.rows, args.cols = 500, 960
+        intr = dict(fx=486.405, fy=535.401, cx=469.199, cy=257.916)
+    else:
+        f = 240.0 * args.cols / 320.0
+        intr = dict(fx=f, fy=f, cx=(args.cols - 1) / 2,
+                    cy=(args.rows - 1) / 2)
 
     rows = []
-    for occluders in (0, 2):
-        for ns in (0.0, 2.0, 4.0, 8.0):
-            t0 = time.time()
-            ate, live, ok = run_point(syn, cfg, ns, occluders)
-            rows.append((ns, occluders, ate, live, ok))
-            print(f"noise={ns:4.1f} occluders={occluders} "
-                  f"ATE={ate * 100:6.2f} cm live={live:5.1f} "
-                  f"healthy={ok} ({time.time() - t0:.0f}s)",
-                  file=sys.stderr, flush=True)
+    for motion in args.motions:
+        syn = SyntheticConfig(num_frames=args.frames, num_landmarks=240,
+                              rows=args.rows, cols=args.cols, seed=7,
+                              angular_rate=0.35 * motion, **intr)
+        cfg = FilterConfig(window=8, max_tracks=96, max_updates=24,
+                           fx=syn.fx, fy=syn.fy, cx=syn.cx, cy=syn.cy,
+                           pixel_noise=1.0)
+        for occluders in (0, 2):
+            for ns in (0.0, 4.0, 8.0):
+                t0 = time.time()
+                ate, live, ok, dm, dp = run_point(syn, cfg, ns, occluders)
+                rows.append((motion, ns, occluders, ate, live, ok, dm, dp))
+                print(f"motion={motion:3.1f} noise={ns:4.1f} "
+                      f"occluders={occluders} ATE={ate * 100:6.2f} cm "
+                      f"live={live:5.1f} healthy={ok} "
+                      f"disp mean={dm:.1f} p99={dp:.1f} px "
+                      f"({time.time() - t0:.0f}s)",
+                      file=sys.stderr, flush=True)
 
     import jax
 
     lines = [
-        "# Adversarial-imagery noise sweep",
+        "# Adversarial-imagery stress sweep",
         "",
         f"Generated by tools/noise_sweep.py on backend="
         f"{jax.default_backend()} at {args.rows}x{args.cols}, "
-        f"{args.frames} frames, 240 landmarks (seed 7). Justifies the "
-        "gate operating points: the KLT residual gate (12 intensity "
-        "units) and FB gate (1.0 px) hold tracking through sigma<=4 "
-        "sensor noise + textured background + photometric drift + "
-        "occluder sweeps without loosening the bench ATE gate.",
+        f"{args.frames} frames, 240 landmarks (seed 7). Axes: sensor "
+        "noise sigma, textured occluder sweeps, and MOTION SCALE (orbit "
+        "angular-rate multiplier; the displacement columns show the "
+        "measured per-frame feature motion this produces — the fused-KLT "
+        "level-0 window is 24 px with 4 pyramid levels, so p99 "
+        "displacement approaching 24*2^3 px is the designed envelope "
+        "edge). Justifies the gate operating points: the KLT residual "
+        "gate (12 intensity units) and FB gate (1.0 px) hold tracking "
+        "through the grid without loosening the bench ATE gate.",
         "",
-        "| noise sigma | occluder sweeps | ATE (cm) | mean live tracks |"
-        " healthy |",
-        "|---|---|---|---|---|",
+        "| motion | noise sigma | occluders | disp mean (px) | "
+        "disp p99 (px) | ATE (cm) | live tracks | healthy |",
+        "|---|---|---|---|---|---|---|---|",
     ]
-    for ns, occ, ate, live, ok in rows:
-        lines.append(f"| {ns:.1f} | {occ} | {ate * 100:.2f} | {live:.1f} |"
+    for mo, ns, occ, ate, live, ok, dm, dp in rows:
+        lines.append(f"| {mo:.1f} | {ns:.1f} | {occ} | {dm:.1f} | {dp:.1f} "
+                     f"| {ate * 100:.2f} | {live:.1f} |"
                      f" {'yes' if ok else 'NO'} |")
     out = "\n".join(lines) + "\n"
     with open(args.output, "w") as fp:

@@ -217,39 +217,58 @@ def sort_faces_morton(V: np.ndarray, F: np.ndarray) -> np.ndarray:
     return np.asarray(F[np.argsort(code, kind="stable")], np.int32)
 
 
+# Binning stays at 32x32 tiles (best chunk selectivity: mean hitting
+# chunks/tile ~3.7 on the 5k-face bench meshes), but each GRID STEP
+# computes FOUR adjacent subtiles and writes one lane-aligned (32, 128)
+# block STRAIGHT into the final (H', W') image layout. This removes the
+# old stitch transpose entirely — its 32-wide minor dim made XLA's copy
+# run at sub-GB/s (materializing it for the semantic scorer cost ~55 ms
+# per 3x128-hypothesis CEM frame, more than raster+score combined) —
+# without paying the ~1.5-3x bin-coverage inflation that full-width
+# strip tiles cost (measured: strip binning pushed the kernel from
+# ~0.11 to ~0.38 ms/pose on the bench meshes).
+_SUB = 32          # binning tile edge (square, like the original kernel)
+_TILE_H = 32       # output block rows
+_TILE_W = 128      # output block cols = 4 subtiles = VPU lane width
+
+
 def _chunk_raster_kernel(counts_ref, ids_ref, planes_ref, out_ref, *,
-                         tile: int, ntx: int, chunk: int,
+                         ntx: int, chunk: int,
                          inv_near: float, inv_far: float):
     t = pl.program_id(0)
-    tx0 = ((t % ntx) * tile).astype(jnp.float32)
-    ty0 = ((t // ntx) * tile).astype(jnp.float32)
-    P = tile * tile
+    ty0 = ((t // ntx) * _TILE_H).astype(jnp.float32)
+    P = _SUB * _SUB
     pid = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-    px = (pid % tile).astype(jnp.float32) + tx0   # global pixel coords
-    py = (pid // tile).astype(jnp.float32) + ty0
+    pxl = (pid % _SUB).astype(jnp.float32)
+    pyl = (pid // _SUB).astype(jnp.float32) + ty0
 
-    def body(i, best):
-        c = planes_ref[ids_ref[t, i]]                # (16, chunk)
+    nsub = _TILE_W // _SUB
+    for sub in range(nsub):                      # static unroll
+        st = t * nsub + sub                      # subtile id (row-major)
+        px = pxl + ((t % ntx) * _TILE_W + sub * _SUB).astype(jnp.float32)
 
-        def plane(k):
-            return (px * c[3 * k:3 * k + 1, :]
-                    + py * c[3 * k + 1:3 * k + 2, :]
-                    + c[3 * k + 2:3 * k + 3, :])      # (P, chunk)
+        def body(i, best):
+            c = planes_ref[ids_ref[st, i]]           # (16, chunk)
 
-        inside = plane(0) >= 0
-        inside &= plane(1) >= 0
-        inside &= plane(2) >= 0
-        iz = plane(3)
-        inside &= (iz > inv_far) & (iz < inv_near)
-        m = jnp.max(jnp.where(inside, iz, 0.0).reshape(P // 128, 128, chunk),
-                    axis=-1)
-        return jnp.maximum(best, m)
+            def plane(k):
+                return (px * c[3 * k:3 * k + 1, :]
+                        + pyl * c[3 * k + 1:3 * k + 2, :]
+                        + c[3 * k + 2:3 * k + 3, :])  # (P, chunk)
 
-    # dynamic trip count: only the chunks whose screen bbox hits this tile
-    # (packed id list from the host-side XLA prep) are ever touched.
-    out_ref[0] = jax.lax.fori_loop(
-        0, counts_ref[t], body,
-        jnp.zeros((P // 128, 128), jnp.float32))
+            inside = plane(0) >= 0
+            inside &= plane(1) >= 0
+            inside &= plane(2) >= 0
+            iz = plane(3)
+            inside &= (iz > inv_far) & (iz < inv_near)
+            m = jnp.max(jnp.where(inside, iz, 0.0).reshape(
+                _SUB, _SUB, chunk), axis=-1)
+            return jnp.maximum(best, m)
+
+        # dynamic trip count: only the chunks whose screen bbox hits this
+        # subtile (packed id list from the batched prep) are ever touched.
+        out_ref[:, sub * _SUB:(sub + 1) * _SUB] = jax.lax.fori_loop(
+            0, counts_ref[st], body,
+            jnp.zeros((_SUB, _SUB), jnp.float32))
 
 
 def _prep_chunks(V, F, pose, intr: Intrinsics, tile: int, chunk: int):
@@ -262,10 +281,14 @@ def _prep_chunks(V, F, pose, intr: Intrinsics, tile: int, chunk: int):
 
 def _prep_chunks_xy(xy, z, F, intr: Intrinsics, tile: int, chunk: int):
     """_prep_chunks body on pre-projected screen coords — the ROI paths
-    shift xy by a per-hypothesis window origin before binning."""
+    shift xy by a per-hypothesis window origin before binning. `tile` is
+    accepted for signature stability but the chunked kernel's subtile
+    geometry (_SUB x _SUB over the _TILE_W-padded width) is what's
+    binned against."""
     H, W = intr.rows, intr.cols
-    nty, ntx = -(-H // tile), -(-W // tile)
-    ntiles = nty * ntx
+    nty = -(-H // _TILE_H)
+    nsx = -(-W // _TILE_W) * (_TILE_W // _SUB)
+    ntiles = nty * nsx
     T = F.shape[0]
     pad = (-T) % chunk
     nc = (T + pad) // chunk
@@ -291,10 +314,10 @@ def _prep_chunks_xy(xy, z, F, intr: Intrinsics, tile: int, chunk: int):
     cy0, cy1 = y0.reshape(nc, chunk).min(1), y1.reshape(nc, chunk).max(1)
     # packed per-tile lists of overlapping chunk ids (+ counts): the
     # kernel's dynamic trip count. Tiny: (tiles, nc) booleans.
-    ty0 = jnp.arange(nty) * tile
-    tx0 = jnp.arange(ntx) * tile
-    ov_x = (cx0[None, :] <= (tx0[:, None] + tile - 1)) & (cx1[None, :] >= tx0[:, None])
-    ov_y = (cy0[None, :] <= (ty0[:, None] + tile - 1)) & (cy1[None, :] >= ty0[:, None])
+    ty0 = jnp.arange(nty) * _SUB
+    tx0 = jnp.arange(nsx) * _SUB
+    ov_x = (cx0[None, :] <= (tx0[:, None] + _SUB - 1)) & (cx1[None, :] >= tx0[:, None])
+    ov_y = (cy0[None, :] <= (ty0[:, None] + _SUB - 1)) & (cy1[None, :] >= ty0[:, None])
     ov = (ov_y[:, None, :] & ov_x[None, :, :]).reshape(ntiles, nc)
     score = ov.astype(jnp.int32) * (nc - jnp.arange(nc, dtype=jnp.int32))
     _, ids = jax.lax.top_k(score, nc)
@@ -305,14 +328,152 @@ def _prep_chunks_xy(xy, z, F, intr: Intrinsics, tile: int, chunk: int):
     return cpl, ids.astype(jnp.int32), counts
 
 
+# ---------------------------------------------------------------------------
+# Batched prep for the multi-mesh paths.
+#
+# The scan-per-pose prep (_prep_chunks) re-runs ~50 small ops per pose —
+# gathers, (T,) vector arithmetic, top_k, layout transposes — and was
+# measured to DOMINATE the chunked rasterizer on real 5k-face meshes
+# (0.34 of 0.42 ms/pose on v5e; the Pallas kernel itself is ~0.08). Here
+# every per-pose quantity is computed for the WHOLE hypothesis batch in
+# one pass over (B, T) tensors: corner positions are pre-gathered per
+# mesh (no per-pose vertex gathers), projection is one batched matmul,
+# plane/bbox arithmetic is elementwise on (B, T), and the per-tile chunk
+# id lists come from one batched top_k. The scan then carries ONLY the
+# pallas kernel over the precomputed (counts, ids, planes) slices.
+# ---------------------------------------------------------------------------
+
+def _planes_batched(C, poses_cw, intr: Intrinsics, origins=None):
+    """Batched triangle setup. C (B,T,3,3) model-frame face-corner
+    positions; poses_cw (B,3,4); origins (B,2) optional screen-window
+    top-lefts subtracted from projected coords. Returns (planes (B,T,12),
+    ok (B,T), bbox x0/x1/y0/y1 each (B,T)) — same math as
+    _project + _triangle_planes, vectorized over B."""
+    R = poses_cw[:, :, :3]
+    t = poses_cw[:, :, 3]
+    Vc = jnp.einsum("bij,btkj->btki", R, C,
+                    precision=jax.lax.Precision.HIGHEST) \
+        + t[:, None, None, :]
+    z = Vc[..., 2]
+    safe_z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = intr.fx * Vc[..., 0] / safe_z + intr.cx
+    v = intr.fy * Vc[..., 1] / safe_z + intr.cy
+    if origins is not None:
+        u = u - origins[:, 0][:, None, None]
+        v = v - origins[:, 1][:, None, None]
+
+    x0, y0, z0 = u[..., 0], v[..., 0], z[..., 0]
+    x1, y1, z1 = u[..., 1], v[..., 1], z[..., 1]
+    x2, y2, z2 = u[..., 2], v[..., 2], z[..., 2]
+
+    area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+    zmin = jnp.minimum(jnp.minimum(z0, z1), z2)
+    ok = (zmin > intr.z_near) & (zmin < intr.z_far) & (jnp.abs(area) > 1e-12)
+    inv_area = jnp.where(ok, 1.0 / jnp.where(jnp.abs(area) > 1e-12, area,
+                                             1.0), 0.0)
+
+    def edge(xa, ya, xb, yb):
+        a = -(yb - ya)
+        b = xb - xa
+        c = (yb - ya) * xa - (xb - xa) * ya
+        return a * inv_area, b * inv_area, c * inv_area
+
+    a0, b0, c0 = edge(x1, y1, x2, y2)
+    a1, b1, c1 = edge(x2, y2, x0, y0)
+    a2, b2, c2 = edge(x0, y0, x1, y1)
+    iz0 = jnp.where(ok, 1.0 / jnp.maximum(z0, 1e-9), 0.0)
+    iz1 = jnp.where(ok, 1.0 / jnp.maximum(z1, 1e-9), 0.0)
+    iz2 = jnp.where(ok, 1.0 / jnp.maximum(z2, 1e-9), 0.0)
+    az = a0 * iz0 + a1 * iz1 + a2 * iz2
+    bz = b0 * iz0 + b1 * iz1 + b2 * iz2
+    cz = c0 * iz0 + c1 * iz1 + c2 * iz2
+    c0 = jnp.where(ok, c0, -1.0)
+    planes = jnp.stack([a0, b0, c0, a1, b1, c1, a2, b2, c2, az, bz, cz], -1)
+
+    xs = jnp.stack([x0, x1, x2], 0)
+    ys = jnp.stack([y0, y1, y2], 0)
+    big = jnp.float32(1e9)
+    bx0 = jnp.where(ok, jnp.min(xs, 0), big)
+    bx1 = jnp.where(ok, jnp.max(xs, 0), -big)
+    by0 = jnp.where(ok, jnp.min(ys, 0), big)
+    by1 = jnp.where(ok, jnp.max(ys, 0), -big)
+    return planes, ok, bx0, bx1, by0, by1
+
+
+def _prep_chunks_all(C, poses_cw, intr: Intrinsics, tile: int, chunk: int,
+                     origins=None):
+    """Batched _prep_chunks over B poses: C (B,T,3,3) face corners ->
+    (planes (B,nc,16,chunk), ids (B,ntiles,nc) i32, counts (B,ntiles) i32).
+    """
+    H, W = intr.rows, intr.cols
+    nty = -(-H // _TILE_H)
+    nsx = -(-W // _TILE_W) * (_TILE_W // _SUB)
+    ntiles = nty * nsx
+    B, T = C.shape[:2]
+    pad = (-T) % chunk
+    nc = (T + pad) // chunk
+
+    planes, ok, x0, x1, y0, y1 = _planes_batched(C, poses_cw, intr,
+                                                 origins=origins)
+    fail = jnp.zeros((12,), jnp.float32).at[2].set(-1.0)
+    planes = jnp.concatenate(
+        [planes, jnp.broadcast_to(fail, (B, pad, 12))], axis=1)
+    big = jnp.float32(1e9)
+    x0 = jnp.pad(x0, ((0, 0), (0, pad)), constant_values=big)
+    x1 = jnp.pad(x1, ((0, 0), (0, pad)), constant_values=-big)
+    y0 = jnp.pad(y0, ((0, 0), (0, pad)), constant_values=big)
+    y1 = jnp.pad(y1, ((0, 0), (0, pad)), constant_values=-big)
+    cx0 = x0.reshape(B, nc, chunk).min(-1)
+    cx1 = x1.reshape(B, nc, chunk).max(-1)
+    cy0 = y0.reshape(B, nc, chunk).min(-1)
+    cy1 = y1.reshape(B, nc, chunk).max(-1)
+
+    ty0 = jnp.arange(nty) * _SUB
+    tx0 = jnp.arange(nsx) * _SUB
+    ov_x = (cx0[:, None, :] <= (tx0[None, :, None] + _SUB - 1)) \
+        & (cx1[:, None, :] >= tx0[None, :, None])               # (B,nsx,nc)
+    ov_y = (cy0[:, None, :] <= (ty0[None, :, None] + _SUB - 1)) \
+        & (cy1[:, None, :] >= ty0[None, :, None])               # (B,nty,nc)
+    ov = (ov_y[:, :, None, :] & ov_x[:, None, :, :]).reshape(B, ntiles, nc)
+    score = ov.astype(jnp.int32) * (nc - jnp.arange(nc, dtype=jnp.int32))
+    _, ids = jax.lax.top_k(score, nc)
+    counts = jnp.sum(ov, axis=-1, dtype=jnp.int32)
+
+    cpl = planes.reshape(B, nc, chunk, 12).transpose(0, 1, 3, 2)
+    cpl = jnp.pad(cpl, ((0, 0), (0, 0), (0, 4), (0, 0)))
+    return cpl, ids.astype(jnp.int32), counts
+
+
+def _face_corners(Vs: jnp.ndarray, Fs: jnp.ndarray) -> jnp.ndarray:
+    """(M,Vmax,3), (M,Tmax,3) -> per-face corner positions (M,Tmax,3,3).
+    Padded faces [0,0,0] become three copies of vertex 0 — zero area,
+    rejected by the plane setup.
+
+    PRECOMPUTE this once per mesh database and pass it as `Cs` to the
+    multi-mesh rasterizers: when Vs/Fs are traced jit arguments the V[F]
+    gather (15k+ dynamic indices) runs per call — measured ~20 ms per CEM
+    iteration on v5e, 3x the whole raster+score cost — whereas the padded
+    Cs[mesh_idx] row gather is a contiguous DMA."""
+    return jax.vmap(lambda V, F: V[F])(Vs, Fs)
+
+
+def face_corner_stack(Vs, Fs) -> np.ndarray:
+    """Host-side _face_corners for mesh-database setup (numpy in, numpy
+    out; no device dispatch)."""
+    Vs = np.asarray(Vs)
+    Fs = np.asarray(Fs)
+    return np.stack([V[F] for V, F in zip(Vs, Fs)]).astype(np.float32)
+
+
 def _chunk_raster_call(intr: Intrinsics, T: int, tile: int, chunk: int,
                        interpret: bool):
-    """Build the pallas_call for a given (image, facecount) geometry."""
+    """Build the pallas_call for a given (image, facecount) geometry. The
+    output is a per-pose (nty*_TILE_H, ntx*_TILE_W) inverse-depth image in
+    FINAL layout: each grid step writes its lane-aligned strip block
+    directly, so no stitch transpose exists downstream."""
     H, W = intr.rows, intr.cols
-    nty, ntx = -(-H // tile), -(-W // tile)
+    nty, ntx = -(-H // _TILE_H), -(-W // _TILE_W)
     ntiles = nty * ntx
-    P = tile * tile
-    assert P % 128 == 0, "tile*tile must be lane-aligned"
     nc = (T + (-T) % chunk) // chunk
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -322,26 +483,27 @@ def _chunk_raster_call(intr: Intrinsics, T: int, tile: int, chunk: int,
             pl.BlockSpec((nc, 16, chunk), lambda t, *_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, P // 128, 128), lambda t, *_: (t, 0, 0),
+        out_specs=pl.BlockSpec((_TILE_H, _TILE_W),
+                               lambda t, *_: (t // ntx, t % ntx),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_chunk_raster_kernel, tile=tile, ntx=ntx,
+        functools.partial(_chunk_raster_kernel, ntx=ntx,
                           chunk=chunk,
                           inv_near=1.0 / intr.z_near,
                           inv_far=1.0 / intr.z_far),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ntiles, P // 128, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nty * _TILE_H, ntx * _TILE_W),
+                                       jnp.float32),
         interpret=interpret,
     )
 
 
 def _stitch_inv(inv, intr: Intrinsics, tile: int):
+    """Crop the padded strip image and convert inverse depth -> depth.
+    (inv arrives in final layout already — see _chunk_raster_call.)"""
     H, W = intr.rows, intr.cols
-    nty, ntx = -(-H // tile), -(-W // tile)
-    B = inv.shape[0]
-    inv = inv.reshape(B, nty, ntx, tile, tile).transpose(0, 1, 3, 2, 4)
-    inv = inv.reshape(B, nty * tile, ntx * tile)[:, :H, :W]
+    inv = inv[:, :H, :W]
     return jnp.where(inv > 0, 1.0 / jnp.maximum(inv, 1e-12), jnp.inf)
 
 
@@ -372,24 +534,32 @@ def rasterize_depth_chunked_multi(Vs: jnp.ndarray, Fs: jnp.ndarray,
                                   poses_cw: jnp.ndarray,
                                   mesh_idx: jnp.ndarray, intr: Intrinsics,
                                   tile: int = 32, chunk: int = 128,
-                                  interpret: bool = False) -> jnp.ndarray:
+                                  interpret: bool = False,
+                                  Cs: Optional[jnp.ndarray] = None
+                                  ) -> jnp.ndarray:
     """Chunked rasterizer over a STACK of padded meshes: hypothesis b
     renders mesh Vs[mesh_idx[b]], Fs[mesh_idx[b]] at poses_cw[b].
 
     Vs (M,Vmax,3) zero-padded vertices, Fs (M,Tmax,3) faces padded with
     degenerate [0,0,0] rows (zero area -> rejected by _triangle_planes).
     One dispatch renders hypotheses of DIFFERENT objects — the multi-object
-    mapper's whole per-frame hypothesis batch at once."""
+    mapper's whole per-frame hypothesis batch at once. Triangle setup is
+    batched over all poses (see _prep_chunks_all); the scan carries only
+    the Pallas kernel. Cs: optional precomputed face_corner_stack(Vs, Fs)
+    — pass it whenever Vs/Fs are traced jit arguments (see
+    _face_corners)."""
     call = _chunk_raster_call(intr, Fs.shape[1], tile, chunk, interpret)
 
-    def one_pose(_, args):
-        pose, mi = args
-        planes, ids, counts = _prep_chunks(Vs[mi], Fs[mi], pose, intr,
-                                           tile, chunk)
-        return None, call(counts, ids, planes)
+    if Cs is None:
+        Cs = _face_corners(Vs, Fs)
+    C = Cs[mesh_idx.astype(jnp.int32)]
+    planes, ids, counts = _prep_chunks_all(C, poses_cw, intr, tile, chunk)
 
-    _, inv = jax.lax.scan(one_pose, None,
-                          (poses_cw, mesh_idx.astype(jnp.int32)))
+    def one_pose(_, args):
+        cpl, idl, cnt = args
+        return None, call(cnt, idl, cpl)
+
+    _, inv = jax.lax.scan(one_pose, None, (planes, ids, counts))
     return _stitch_inv(inv, intr, tile)
 
 
@@ -407,7 +577,8 @@ def rasterize_depth_chunked_multi_roi(Vs: jnp.ndarray, Fs: jnp.ndarray,
                                       origins: jnp.ndarray,
                                       intr: Intrinsics, roi,
                                       tile: int = 32, chunk: int = 128,
-                                      interpret: bool = False
+                                      interpret: bool = False,
+                                      Cs: Optional[jnp.ndarray] = None
                                       ) -> jnp.ndarray:
     """ROI-windowed chunked rasterizer: hypothesis b renders mesh
     mesh_idx[b] at poses_cw[b] into a (roi[0], roi[1]) window whose
@@ -424,17 +595,18 @@ def rasterize_depth_chunked_multi_roi(Vs: jnp.ndarray, Fs: jnp.ndarray,
     roi_intr = _roi_intr(intr, roi)
     call = _chunk_raster_call(roi_intr, Fs.shape[1], tile, chunk, interpret)
 
-    def one_pose(_, args):
-        pose, mi, org = args
-        xy, z = _project(Vs[mi], pose, intr)
-        planes, ids, counts = _prep_chunks_xy(xy - org[None, :], z, Fs[mi],
-                                              roi_intr, tile, chunk)
-        return None, call(counts, ids, planes)
+    if Cs is None:
+        Cs = _face_corners(Vs, Fs)
+    C = Cs[mesh_idx.astype(jnp.int32)]
+    planes, ids, counts = _prep_chunks_all(
+        C, poses_cw, roi_intr, tile, chunk,
+        origins=jnp.asarray(origins, jnp.float32))
 
-    _, inv = jax.lax.scan(
-        one_pose, None,
-        (poses_cw, mesh_idx.astype(jnp.int32),
-         jnp.asarray(origins, jnp.float32)))
+    def one_pose(_, args):
+        cpl, idl, cnt = args
+        return None, call(cnt, idl, cpl)
+
+    _, inv = jax.lax.scan(one_pose, None, (planes, ids, counts))
     return _stitch_inv(inv, roi_intr, tile)
 
 
@@ -612,11 +784,23 @@ class MultiMeshRenderer:
         self.names: list = []
         self.Vs: Optional[jnp.ndarray] = None
         self.Fs: Optional[jnp.ndarray] = None
+        self.Cs: Optional[jnp.ndarray] = None
 
     def set_meshes(self, mesh_db) -> None:
         """mesh_db: {name: (V, F)} (insertion order fixes indices)."""
         self.names = list(mesh_db.keys())
         self.Vs, self.Fs = pad_mesh_stack([mesh_db[n] for n in self.names])
+        # precomputed per-face corners: keeps the V[F] gather out of the
+        # per-dispatch path (see _face_corners)
+        self.Cs = jnp.asarray(face_corner_stack(self.Vs, self.Fs))
+        # per-instance executor with the mesh stack closed over as
+        # compile-time constants: with Vs/Fs/Cs as traced args the
+        # compiled kernel scan is ~4x slower on v5e (see _cem_fused_body)
+        Vs, Fs, Cs, intr, tile = self.Vs, self.Fs, self.Cs, self.intr, \
+            self.tile
+        self._chunked_exec = jax.jit(
+            lambda poses, mi: rasterize_depth_chunked_multi(
+                Vs, Fs, poses, mi, intr, tile, Cs=Cs))
 
     def index(self, name: str) -> int:
         return self.names.index(name)
@@ -635,8 +819,7 @@ class MultiMeshRenderer:
         if mi.shape[0] == 1 and poses.shape[0] > 1:
             mi = jnp.broadcast_to(mi, (poses.shape[0],))
         if self.use_pallas and self.tile * self.tile % 128 == 0:
-            out = rasterize_depth_chunked_multi(self.Vs, self.Fs, poses, mi,
-                                                self.intr, self.tile)
+            out = self._chunked_exec(poses, mi)
         else:
             out = jax.vmap(
                 lambda m, p: rasterize_depth(self.Vs[m], self.Fs[m], p,

@@ -142,7 +142,7 @@ def _crop(img, origin, roi):
                                     "use_pallas", "tau", "roi"))
 def _cem_render_score(Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt, obs,
                       intr, tile, capacity, use_pallas, tau, roi=None,
-                      origins=None):
+                      origins=None, Cs=None, occ_poses=None):
     """Render+score (n, S) hypotheses of n objects in one computation.
 
     Vs/Fs: padded mesh stack (render.raster.pad_mesh_stack);
@@ -154,12 +154,13 @@ def _cem_render_score(Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt, obs,
     """
     return _render_score_nS(Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt,
                             obs, intr, tile, capacity, use_pallas, tau,
-                            roi=roi, origins=origins)[1]
+                            roi=roi, origins=origins, Cs=Cs,
+                            occ_poses=occ_poses)[1]
 
 
 def _render_score_nS(Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt, obs,
                      intr, tile, capacity, use_pallas, tau,
-                     roi=None, origins=None):
+                     roi=None, origins=None, Cs=None, occ_poses=None):
     """Shared body: render+score all (n, S) hypotheses. Returns
     (hyp34 (n,S,3,4), scores (n,S)).
 
@@ -168,6 +169,14 @@ def _render_score_nS(Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt, obs,
     frame. EXACT for footprints inside the window (chamfer mass lives on
     rendered pixels; the coverage denominator stays the global edge mass)
     — the per-hypothesis cost drops from H*W to Hr*Wr pixels.
+
+    occ_poses (n,3,4), ROI path only: instead of cropping a precomputed
+    full-frame occluder z-buffer, render each track's occluders (the
+    OTHER n-1 objects at these frame-start poses) directly into its
+    window — n*(n-1) window renders fused into the same dispatch,
+    replacing a separate full-frame render dispatch (~40 ms of relay RTT
+    + full-frame raster per frame). Identical values: a windowed render
+    equals the full-frame render cropped at the same origin.
     """
     from visma_tpu.render.raster import (rasterize_depth,
                                          rasterize_depth_chunked_multi,
@@ -183,7 +192,7 @@ def _render_score_nS(Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt, obs,
     if roi is None:
         if use_pallas:
             depths = rasterize_depth_chunked_multi(Vs, Fs, flat, mi, intr,
-                                                   tile)
+                                                   tile, Cs=Cs)
         else:
             depths = jax.vmap(
                 lambda m, p: rasterize_depth(Vs[m], Fs[m], p, intr, tile,
@@ -197,7 +206,7 @@ def _render_score_nS(Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt, obs,
     org = jnp.repeat(origins, S, axis=0)               # (n*S, 2)
     if use_pallas:
         depths = rasterize_depth_chunked_multi_roi(Vs, Fs, flat, mi, org,
-                                                   intr, roi, tile)
+                                                   intr, roi, tile, Cs=Cs)
     else:
         depths = jax.vmap(
             lambda m, p, o: rasterize_depth_roi(Vs[m], Fs[m], p, o, intr,
@@ -207,7 +216,23 @@ def _render_score_nS(Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt, obs,
     obs_mass = jnp.sum(obs)
     dt_w = jax.vmap(lambda o: _crop(dt, o, roi))(origins)
     obs_w = jax.vmap(lambda o: _crop(obs, o, roi))(origins)
-    occ_w = jax.vmap(lambda im, o: _crop(im, o, roi))(occ, origins)
+    if occ_poses is not None and n > 1:
+        oi = np.stack([[j for j in range(n) if j != i]
+                       for i in range(n)])                 # (n, n-1)
+        op = occ_poses[oi.reshape(-1)]
+        om = mesh_idx[jnp.asarray(oi.reshape(-1))]
+        oorg = jnp.repeat(origins, n - 1, axis=0)
+        if use_pallas:
+            od = rasterize_depth_chunked_multi_roi(Vs, Fs, op, om, oorg,
+                                                   intr, roi, tile, Cs=Cs)
+        else:
+            od = jax.vmap(
+                lambda m, p, o: rasterize_depth_roi(Vs[m], Fs[m], p, o,
+                                                    intr, roi, tile,
+                                                    capacity))(om, op, oorg)
+        occ_w = od.reshape(n, n - 1, roi[0], roi[1]).min(axis=1)
+    else:
+        occ_w = jax.vmap(lambda im, o: _crop(im, o, roi))(occ, origins)
     scores = jax.vmap(
         lambda d, o, dw, ow: occlusion_aware_edge_score(
             d, o, dw, ow, tau=tau, obs_mass=obs_mass)
@@ -215,12 +240,9 @@ def _render_score_nS(Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt, obs,
     return poses, scores
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "intr", "tile", "capacity", "use_pallas", "tau", "iters", "samples",
-    "n_elite", "roi"))
-def _cem_fused(Vs, Fs, mesh_idx, R0, t0, sig0, occ, obs, key,
-               intr, tile, capacity, use_pallas, tau, iters, samples,
-               n_elite, roi=None):
+def _cem_fused_body(Vs, Fs, mesh_idx, R0, t0, sig0, occ, obs, key,
+                    intr, tile, capacity, use_pallas, tau, iters, samples,
+                    n_elite, roi=None, Cs=None, occ_poses=None):
     """The WHOLE batched CEM as one device computation: sampling, render,
     score, elite refit, and best-pose tracking run inside a lax.fori_loop
     — ONE dispatch per frame instead of one per CEM iteration (each
@@ -228,12 +250,19 @@ def _cem_fused(Vs, Fs, mesh_idx, R0, t0, sig0, occ, obs, key,
     RTT dominated the mapper's frame budget). roi: optional static
     (Hr, Wr) screen window per object, recentered on the current mean's
     projected center every iteration. Returns
-    (best_pose (n,3,4), best_score (n,))."""
+    (best_pose (n,3,4), best_score (n,)).
+
+    Call through fused_cem_executor (mesh stack closed over as compile-
+    time constants) on the hot path: with Vs/Fs/Cs as TRACED arguments
+    the compiled kernel scan runs ~4x slower on v5e (measured 54 vs 31 ms
+    per 128-pose raster; XLA schedules the pallas pipeline differently),
+    while as constants it fuses cleanly. The generic jitted wrapper
+    _cem_fused is kept for one-off callers and tests."""
     n = R0.shape[0]
     dt = edge_distance_transform(obs)
     idx = jnp.arange(n)
 
-    def body(_, carry):
+    def body(carry):
         mean_R, mean_t, sig, best_pose, best_score, key = carry
         key, sub = jax.random.split(key)
         # NOTE: plain normal sampling, NOT antithetic (+z,-z) pairs —
@@ -254,7 +283,7 @@ def _cem_fused(Vs, Fs, mesh_idx, R0, t0, sig0, occ, obs, key,
         hyp34, scores = _render_score_nS(
             Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt, obs,
             intr, tile, capacity, use_pallas, tau, roi=roi,
-            origins=origins)
+            origins=origins, Cs=Cs, occ_poses=occ_poses)
         order = jnp.argsort(scores, axis=1)
         top = order[:, 0]
         top_score = scores[idx, top]
@@ -272,8 +301,64 @@ def _cem_fused(Vs, Fs, mesh_idx, R0, t0, sig0, occ, obs, key,
     best_pose0 = jnp.concatenate([R0, t0[:, :, None]], axis=2)
     carry = (R0, t0, sig0, best_pose0, jnp.full((n,), jnp.inf, jnp.float32),
              key)
-    carry = jax.lax.fori_loop(0, iters, body, carry)
+    # UNROLLED, not lax.fori_loop: iters is static and small, and inside a
+    # while-loop body XLA schedules the chunked-raster pallas pipeline
+    # ~2x worse on v5e (measured 135 vs 60 ms for the whole settled 3x32
+    # frame; same constants, same ops — only the loop form differs)
+    for _ in range(iters):
+        carry = body(carry)
     return carry[3], carry[4]
+
+
+_cem_fused = functools.partial(jax.jit, static_argnames=(
+    "intr", "tile", "capacity", "use_pallas", "tau", "iters", "samples",
+    "n_elite", "roi"))(_cem_fused_body)
+
+
+def fused_cem_executor(mrenderer, tau, iters, samples, n_elite, roi,
+                       occ_mode):
+    """Per-renderer cached jitted CEM executor with the mesh database
+    (Vs/Fs/Cs) closed over as COMPILE-TIME CONSTANTS — see
+    _cem_fused_body's note on why this matters. occ_mode selects the
+    occlusion handling baked into the trace: "none" (no occluders),
+    "depths" (precomputed full-frame z-buffers), "poses" (in-window
+    occluder renders; requires roi). Executors cache on the renderer
+    keyed by every static knob, so a mapper instance compiles each
+    schedule once."""
+    cache = mrenderer.__dict__.setdefault("_cem_exec_cache", {})
+    k = (tau, iters, samples, n_elite, roi, occ_mode)
+    if k in cache:
+        return cache[k]
+    Vs, Fs, Cs = mrenderer.Vs, mrenderer.Fs, mrenderer.Cs
+    intr, tile = mrenderer.intr, mrenderer.tile
+    capacity, use_pallas = mrenderer.capacity, mrenderer.use_pallas
+
+    if occ_mode == "poses":
+        @jax.jit
+        def run(mesh_idx, R0, t0, sig0, obs, key, occ_poses):
+            occ = jnp.zeros((R0.shape[0], 1, 1), jnp.float32)  # unused
+            return _cem_fused_body(Vs, Fs, mesh_idx, R0, t0, sig0, occ,
+                                   obs, key, intr, tile, capacity,
+                                   use_pallas, tau, iters, samples,
+                                   n_elite, roi, Cs, occ_poses)
+    elif occ_mode == "depths":
+        @jax.jit
+        def run(mesh_idx, R0, t0, sig0, obs, key, occ):
+            return _cem_fused_body(Vs, Fs, mesh_idx, R0, t0, sig0, occ,
+                                   obs, key, intr, tile, capacity,
+                                   use_pallas, tau, iters, samples,
+                                   n_elite, roi, Cs, None)
+    else:
+        @jax.jit
+        def run(mesh_idx, R0, t0, sig0, obs, key):
+            occ = jnp.full((R0.shape[0], intr.rows, intr.cols), jnp.inf,
+                           jnp.float32)
+            return _cem_fused_body(Vs, Fs, mesh_idx, R0, t0, sig0, occ,
+                                   obs, key, intr, tile, capacity,
+                                   use_pallas, tau, iters, samples,
+                                   n_elite, roi, Cs, None)
+    cache[k] = run
+    return run
 
 
 def refine_pose_cem_batched(mrenderer, observed_edges: jnp.ndarray,
@@ -285,6 +370,7 @@ def refine_pose_cem_batched(mrenderer, observed_edges: jnp.ndarray,
                             occluder_depths: Optional[jnp.ndarray] = None,
                             device_loop: bool = True,
                             roi: Optional[Tuple[int, int]] = None,
+                            occluder_poses: Optional[np.ndarray] = None,
                             ):
     """Jointly refine n (3,4)/(4,4) model->camera poses of n objects.
 
@@ -297,6 +383,10 @@ def refine_pose_cem_batched(mrenderer, observed_edges: jnp.ndarray,
     path. roi: optional static (Hr, Wr) per-object screen window — exact
     when each object's footprint + search radius fits the window; cost
     per hypothesis drops from rows*cols to Hr*Wr pixels.
+    occluder_poses (n,3,4), ROI mode only: frame-start model->camera
+    poses from which each track's occluder z-buffer is rendered INSIDE
+    its window per iteration (see _render_score_nS) — pass this instead
+    of occluder_depths to avoid a separate full-frame occluder dispatch.
     Returns (poses (n,3,4), scores (n,)).
     """
     if roi is not None:
@@ -304,25 +394,35 @@ def refine_pose_cem_batched(mrenderer, observed_edges: jnp.ndarray,
                min(int(roi[1]), mrenderer.intr.cols))
         if roi == (mrenderer.intr.rows, mrenderer.intr.cols):
             roi = None  # window >= frame: the plain path is the same
+    if occluder_poses is not None and roi is None:
+        raise ValueError("occluder_poses requires roi mode; pass "
+                         "occluder_depths for full-frame refinement")
     if device_loop:
         init_poses = np.asarray(init_poses, np.float32)
         n = init_poses.shape[0]
         sig0 = np.tile(np.concatenate([np.full(3, init_sigma[1]),
                                        np.full(3, init_sigma[0])]
                                       ).astype(np.float32), (n, 1))
-        if occluder_depths is None:
-            occ = jnp.full((n, mrenderer.intr.rows, mrenderer.intr.cols),
-                           jnp.inf, jnp.float32)
+        n_elite = max(2, int(samples * elite_frac))
+        args = (jnp.asarray(mesh_idx, jnp.int32),
+                jnp.asarray(init_poses[:, :3, :3]),
+                jnp.asarray(init_poses[:, :3, 3]), jnp.asarray(sig0),
+                jnp.asarray(observed_edges, jnp.float32),
+                jax.random.PRNGKey(seed))
+        if occluder_poses is not None:
+            run = fused_cem_executor(mrenderer, tau, iters, samples,
+                                     n_elite, roi, "poses")
+            pose, score = run(*args, jnp.asarray(
+                np.asarray(occluder_poses, np.float32).reshape(n, 3, 4)))
+        elif occluder_depths is not None:
+            run = fused_cem_executor(mrenderer, tau, iters, samples,
+                                     n_elite, roi, "depths")
+            pose, score = run(*args,
+                              jnp.asarray(occluder_depths, jnp.float32))
         else:
-            occ = jnp.asarray(occluder_depths, jnp.float32)
-        pose, score = _cem_fused(
-            mrenderer.Vs, mrenderer.Fs, jnp.asarray(mesh_idx, jnp.int32),
-            jnp.asarray(init_poses[:, :3, :3]),
-            jnp.asarray(init_poses[:, :3, 3]), jnp.asarray(sig0), occ,
-            jnp.asarray(observed_edges, jnp.float32),
-            jax.random.PRNGKey(seed), mrenderer.intr, mrenderer.tile,
-            mrenderer.capacity, mrenderer.use_pallas, tau, iters, samples,
-            max(2, int(samples * elite_frac)), roi=roi)
+            run = fused_cem_executor(mrenderer, tau, iters, samples,
+                                     n_elite, roi, "none")
+            pose, score = run(*args)
         return np.asarray(pose), np.asarray(score)
     init_poses = np.asarray(init_poses, np.float32)
     n = init_poses.shape[0]
@@ -336,7 +436,12 @@ def refine_pose_cem_batched(mrenderer, observed_edges: jnp.ndarray,
     sig = np.tile(np.concatenate([np.full(3, init_sigma[1]),
                                   np.full(3, init_sigma[0])]
                                  ).astype(np.float32), (n, 1))
-    if occluder_depths is None:
+    occ_poses = (None if occluder_poses is None else
+                 jnp.asarray(np.asarray(occluder_poses, np.float32)
+                             .reshape(n, 3, 4)))
+    if occ_poses is not None:
+        occ = jnp.zeros((n, 1, 1), jnp.float32)  # unused, never traced
+    elif occluder_depths is None:
         occ = jnp.full((n, mrenderer.intr.rows, mrenderer.intr.cols),
                        jnp.inf, jnp.float32)
     else:
@@ -359,7 +464,8 @@ def refine_pose_cem_batched(mrenderer, observed_edges: jnp.ndarray,
             mrenderer.Vs, mrenderer.Fs, mi, jnp.asarray(mean_R),
             jnp.asarray(mean_t), jnp.asarray(xi), occ, dt, obs,
             mrenderer.intr, mrenderer.tile, mrenderer.capacity,
-            mrenderer.use_pallas, tau, roi=roi, origins=origins))  # (n,S)
+            mrenderer.use_pallas, tau, roi=roi, origins=origins,
+            Cs=mrenderer.Cs, occ_poses=occ_poses))  # (n,S)
 
         order = np.argsort(scores, axis=1)
         # host-side refit (numpy: zero extra dispatches)

@@ -50,7 +50,13 @@ class SemanticMapper:
                  depth_prior: float = 2.0, cem_iters: int = 5,
                  cem_samples: int = 48, retrieval_yaws: int = 12,
                  azimuth_prior_weight: float = 1.0,
-                 roi: Optional[tuple] = None):
+                 roi: Optional[tuple] = None,
+                 init_sigma: tuple = (0.15, 0.08),
+                 settle_age: int = 2,
+                 settled_iters: Optional[int] = None,
+                 settled_samples: Optional[int] = None,
+                 settled_sigma: Optional[tuple] = None,
+                 async_frames: int = 0):
         """mesh_db: model_name -> (V, F).
 
         retrieval_yaws / azimuth_prior_weight control detection-driven
@@ -58,7 +64,25 @@ class SemanticMapper:
         screen window for CEM render+score of SETTLED tracks (age >= 1;
         fresh spawns refine full-frame since their init error can exceed
         the window margin) — per-hypothesis cost drops from rows*cols to
-        Hr*Wr pixels, exact while footprints stay inside the window."""
+        Hr*Wr pixels, exact while footprints stay inside the window.
+
+        Annealed settled schedule: once every track has age >=
+        settle_age, the per-frame CEM switches to settled_iters x
+        settled_samples at settled_sigma (rot rad, trans m) — a settled
+        track only corrects the residual drift since last frame (object
+        static in world, camera motion known from the VIO pose), so the
+        full spawn-width search is wasted work. Leave the settled_*
+        parameters None to disable annealing.
+
+        async_frames > 0 enables DEVICE-RESIDENT steady state: once all
+        tracks are settled (ROI mode, no new detections), track poses
+        stay on the TPU, each frame enqueues one fused CEM dispatch
+        without waiting for the previous one, and the host mirror
+        (ObjectTrack.pose_wm / score / result packets) refreshes every
+        `async_frames` frames or at finalize(). Per-frame host<->device
+        sync costs a full relay round-trip (~25 ms through the axon
+        tunnel) and serializes dispatches; pipelining them hides both.
+        Call finalize() (write_result_json does) before reading poses."""
         self.intr = intr
         self.mesh_db = mesh_db
         self.depth_prior = depth_prior
@@ -67,12 +91,27 @@ class SemanticMapper:
         self.retrieval_yaws = retrieval_yaws
         self.azimuth_prior_weight = azimuth_prior_weight
         self.roi = None if roi is None else (int(roi[0]), int(roi[1]))
+        self.init_sigma = (float(init_sigma[0]), float(init_sigma[1]))
+        self.settle_age = int(settle_age)
+        self.settled_iters = settled_iters
+        self.settled_samples = settled_samples
+        self.settled_sigma = (None if settled_sigma is None else
+                              (float(settled_sigma[0]),
+                               float(settled_sigma[1])))
         self.tracks: Dict[int, ObjectTrack] = {}
         self.mrenderer = MultiMeshRenderer(intr, capacity=128)
+        self._mesh_aabb: Dict[str, tuple] = {}
         if mesh_db:
             self.mrenderer.set_meshes(mesh_db)
+            self._mesh_aabb = {
+                n: (np.asarray(V, np.float64).min(0),
+                    np.asarray(V, np.float64).max(0))
+                for n, (V, _) in mesh_db.items()}
         self._next_id = 0
-        self.history: List[List[dict]] = []
+        self.history: List = []
+        self.async_frames = int(async_frames)
+        self._dev: Optional[dict] = None   # device-resident track state
+        self._frame_no = 0
 
     def _init_pose_cm(self, bbox) -> np.ndarray:
         """Back-project the detection center at the depth prior."""
@@ -169,10 +208,13 @@ class SemanticMapper:
 
         Edge maps may be stored at a different resolution than the camera
         (EdgeMap carries its own rows/cols, vlslam.proto:49-53); resample
-        to the render resolution so scores compare pixels to pixels."""
-        edge_map = np.asarray(edge_map, np.float32)
+        to the render resolution so scores compare pixels to pixels.
+        Device-resident edge maps of the right shape pass through without
+        a host round-trip (the production path: depth_edge output stays
+        on-chip)."""
         H, W = self.intr.rows, self.intr.cols
         if edge_map.shape != (H, W):
+            edge_map = np.asarray(edge_map, np.float32)
             ri = (np.arange(H) * edge_map.shape[0] // H).astype(np.int64)
             ci = (np.arange(W) * edge_map.shape[1] // W).astype(np.int64)
             edge_map = edge_map[ri][:, ci]
@@ -190,39 +232,211 @@ class SemanticMapper:
         if tracks:
             import jax.numpy as jnp
 
-            poses_cm = np.stack([(G_cw @ tr.pose_wm)[:3, :4]
-                                 for tr in tracks]).astype(np.float32)
-            mesh_idx = np.array(
-                [self.mrenderer.index(tr.model_name) for tr in tracks],
-                np.int32)
-
-            occ = None
-            if len(tracks) > 1:
-                # one dispatch: all current depths + per-track exclusive
-                # min over the others (occluder z-buffers)
-                occ = _exclusive_min_depths(
-                    self.mrenderer.Vs, self.mrenderer.Fs,
-                    jnp.asarray(poses_cm), jnp.asarray(mesh_idx),
-                    self.mrenderer.intr, self.mrenderer.tile,
-                    self.mrenderer.capacity, self.mrenderer.use_pallas)
-
+            settled = (self.settle_age >= 0 and
+                       all(tr.age >= self.settle_age for tr in tracks))
+            iters = (self.settled_iters if settled and self.settled_iters
+                     else self.cem_iters)
+            samples = (self.settled_samples
+                       if settled and self.settled_samples
+                       else self.cem_samples)
+            sigma = (self.settled_sigma if settled and self.settled_sigma
+                     else self.init_sigma)
             roi = self.roi if all(tr.age >= 1 for tr in tracks) else None
-            refined, scores = refine_pose_cem_batched(
-                self.mrenderer, jnp.asarray(edge_map), poses_cm, mesh_idx,
-                iters=self.cem_iters, samples=self.cem_samples,
-                seed=min(tr.age for tr in tracks),
-                occluder_depths=occ, roi=roi)
-            for i, tr in enumerate(tracks):
-                T_cm = np.eye(4)
-                T_cm[:3, :4] = refined[i]
-                tr.pose_wm = G @ T_cm
-                tr.score = float(scores[i])
-                tr.age += 1
 
+            oids = [tr.oid for tr in tracks]
+            can_async = (self.async_frames > 0 and settled
+                         and roi is not None and bboxes is None
+                         and self._dev is not None
+                         and self._dev["oids"] == oids)
+            if can_async:
+                self._step_async(tracks, G, G_cw, edge_map, iters, samples,
+                                 sigma, roi)
+            else:
+                self._step_sync(tracks, G, G_cw, edge_map, iters, samples,
+                                sigma, roi, oids)
+        else:
+            self.history.append([])
+        self._frame_no += 1
+
+    def _step_sync(self, tracks, G, G_cw, edge_map, iters, samples, sigma,
+                   roi, oids) -> None:
+        import jax.numpy as jnp
+
+        poses_cm = np.stack([(G_cw @ tr.pose_wm)[:3, :4]
+                             for tr in tracks]).astype(np.float32)
+        mesh_idx = np.array(
+            [self.mrenderer.index(tr.model_name) for tr in tracks],
+            np.int32)
+
+        need_occ = len(tracks) > 1 and self._footprints_may_overlap(
+            poses_cm, [tr.model_name for tr in tracks])
+        occ = occ_poses = None
+        if need_occ and roi is not None:
+            # ROI mode: occluders render inside each track's window
+            # within the SAME fused dispatch — no separate full-frame
+            # render (see cem._render_score_nS occ_poses)
+            occ_poses = poses_cm
+        elif need_occ:
+            # full-frame mode (fresh spawns): one dispatch for all
+            # current depths + per-track exclusive min over the others
+            occ = _exclusive_min_depths(
+                self.mrenderer.Vs, self.mrenderer.Fs,
+                jnp.asarray(poses_cm), jnp.asarray(mesh_idx),
+                self.mrenderer.intr, self.mrenderer.tile,
+                self.mrenderer.capacity, self.mrenderer.use_pallas,
+                self.mrenderer.Cs)
+        # disjoint screen footprints: no occluder work at all —
+        # occ=None scores identically (occluder edge term is 0)
+
+        refined, scores = refine_pose_cem_batched(
+            self.mrenderer, jnp.asarray(edge_map), poses_cm, mesh_idx,
+            iters=iters, samples=samples, init_sigma=sigma,
+            seed=min(tr.age for tr in tracks),
+            occluder_depths=occ, roi=roi, occluder_poses=occ_poses)
+        for i, tr in enumerate(tracks):
+            T_cm = np.eye(4)
+            T_cm[:3, :4] = refined[i]
+            tr.pose_wm = G @ T_cm
+            tr.score = float(scores[i])
+            tr.age += 1
+        # seed the device-resident state for a possible async steady state
+        if self.async_frames > 0:
+            self._dev = {
+                "poses": jnp.asarray(refined), "G": G.copy(),
+                "oids": oids, "pending": 0,
+                "scores": jnp.asarray(scores),
+                "mi": jnp.asarray(np.array(
+                    [self.mrenderer.index(tr.model_name)
+                     for tr in tracks], np.int32)),
+            }
         self.history.append(self.export_packet())
 
+    def _step_async(self, tracks, G, G_cw, edge_map, iters, samples, sigma,
+                    roi, ) -> None:
+        """Device-resident settled-state step: ONE enqueued fused-CEM
+        dispatch, no host sync (see __init__ docstring)."""
+        import jax
+        import jax.numpy as jnp
+
+        from visma_tpu.semantic.cem import fused_cem_executor
+
+        dev = self._dev
+        dG = (G_cw @ dev["G"])[:3, :4].astype(np.float32)
+        poses_dev = _compose_dg(jnp.asarray(dG), dev["poses"])
+
+        # conservative occlusion decision from the host mirror (stale by
+        # <= async_frames frames; the 3-sigma margin covers the drift)
+        mirror_cm = np.stack([(G_cw @ tr.pose_wm)[:3, :4]
+                              for tr in tracks]).astype(np.float32)
+        need_occ = len(tracks) > 1 and self._footprints_may_overlap(
+            mirror_cm, [tr.model_name for tr in tracks])
+
+        n = len(tracks)
+        n_elite = max(2, int(samples * 0.25))
+        sig_key = ("sig", sigma, n)
+        if dev.get(sig_key) is None:
+            dev[sig_key] = jnp.asarray(np.tile(np.concatenate(
+                [np.full(3, sigma[1]), np.full(3, sigma[0])]
+            ).astype(np.float32), (n, 1)))
+        run = fused_cem_executor(self.mrenderer, 10.0, iters, samples,
+                                 n_elite, roi,
+                                 "poses" if need_occ else "none")
+        args = (dev["mi"], poses_dev[:, :, :3], poses_dev[:, :, 3],
+                dev[sig_key], jnp.asarray(edge_map, jnp.float32),
+                jax.random.PRNGKey(self._frame_no))
+        if need_occ:
+            refined_dev, scores_dev = run(*args, poses_dev)
+        else:
+            refined_dev, scores_dev = run(*args)
+
+        dev.update(poses=refined_dev, G=G.copy(), scores=scores_dev,
+                   pending=dev["pending"] + 1)
+        for tr in tracks:
+            tr.age += 1
+        # lazy history packet: materialized by finalize()
+        self.history.append(("dev", G.copy(), refined_dev,
+                             [(tr.oid, tr.model_name, tr.status)
+                              for tr in tracks]))
+        if dev["pending"] >= self.async_frames:
+            self._sync_dev()
+
+    def _sync_dev(self) -> None:
+        """Refresh the host mirror (ObjectTrack poses/scores) from the
+        device-resident state. Blocks on the pipelined dispatches."""
+        if self._dev is None or self._dev["pending"] == 0:
+            return
+        poses = np.asarray(self._dev["poses"])
+        scores = np.asarray(self._dev["scores"])
+        G = self._dev["G"]
+        for i, oid in enumerate(self._dev["oids"]):
+            tr = self.tracks.get(oid)
+            if tr is None:
+                continue
+            T_cm = np.eye(4)
+            T_cm[:3, :4] = poses[i]
+            tr.pose_wm = G @ T_cm
+            tr.score = float(scores[i])
+        self._dev["pending"] = 0
+
+    def finalize(self) -> None:
+        """Sync the host mirror and materialize lazy history packets.
+        Idempotent; called by write_result_json."""
+        self._sync_dev()
+        for k, packet in enumerate(self.history):
+            if not (isinstance(packet, tuple) and packet
+                    and packet[0] == "dev"):
+                continue
+            _, G, refined_dev, metas = packet
+            poses = np.asarray(refined_dev)
+            out = []
+            for i, (oid, name, status) in enumerate(metas):
+                T_cm = np.eye(4)
+                T_cm[:3, :4] = poses[i]
+                T_wm = G @ T_cm
+                out.append({"id": oid, "model_name": name,
+                            "status": status,
+                            "model_pose": [float(x) for x in
+                                           T_wm[:3, :4].reshape(-1)]})
+            self.history[k] = out
+
+    def _footprints_may_overlap(self, poses_cm: np.ndarray,
+                                names: List[str]) -> bool:
+        """Conservative screen-space disjointness test: each object's
+        model-frame AABB corners are projected at its current pose and the
+        screen rectangle is expanded by the 3-sigma CEM search radius.
+        True = some pair may overlap -> render occluder z-buffers. (Host
+        arithmetic on 8 points per object — no dispatch.)"""
+        margin = 3.0 * self.init_sigma[1]
+        rects = []
+        for pose, name in zip(poses_cm, names):
+            lo, hi = self._mesh_aabb.get(
+                name, (np.full(3, -1.0), np.full(3, 1.0)))
+            corners = np.array([[x, y, z] for x in (lo[0], hi[0])
+                                for y in (lo[1], hi[1])
+                                for z in (lo[2], hi[2])])
+            pc = corners @ np.asarray(pose[:3, :3]).T + pose[:3, 3]
+            z = pc[:, 2]
+            if np.any(z <= 0.1):
+                return True          # degenerate: be conservative
+            u = self.intr.fx * pc[:, 0] / z + self.intr.cx
+            v = self.intr.fy * pc[:, 1] / z + self.intr.cy
+            mpx = max(self.intr.fx, self.intr.fy) * margin / float(z.min())
+            rects.append((u.min() - mpx, u.max() + mpx,
+                          v.min() - mpx, v.max() + mpx))
+        for i in range(len(rects)):
+            for j in range(i + 1, len(rects)):
+                a, b = rects[i], rects[j]
+                if a[0] <= b[1] and b[0] <= a[1] \
+                        and a[2] <= b[3] and b[2] <= a[3]:
+                    return True
+        return False
+
     def _covered(self, bbox, gwc: np.ndarray) -> bool:
-        """Does an existing track project near this detection center?"""
+        """Does an existing track project near this detection center?
+        The dedup radius scales with image width (80 px at the VISMA
+        960-col geometry) so small-resolution sequences can still hold
+        several objects."""
+        r = max(16.0, 80.0 * self.intr.cols / 960.0)
         cx = 0.5 * (bbox.top_left_x + bbox.bottom_right_x)
         cy = 0.5 * (bbox.top_left_y + bbox.bottom_right_y)
         G = np.eye(4)
@@ -235,7 +449,7 @@ class SemanticMapper:
                 continue
             u = self.intr.fx * c_c[0] / c_c[2] + self.intr.cx
             v = self.intr.fy * c_c[1] / c_c[2] + self.intr.cy
-            if abs(u - cx) < 80 and abs(v - cy) < 80:
+            if abs(u - cx) < r and abs(v - cy) < r:
                 return True
         return False
 
@@ -253,19 +467,41 @@ class SemanticMapper:
         return out
 
     def write_result_json(self, path: str) -> None:
+        self.finalize()
         with open(path, "w") as fp:
             json.dump(self.history, fp, indent=1)
 
 
-def _exclusive_min_depths(Vs, Fs, poses, mesh_idx, intr, tile, capacity,
-                          use_pallas):
-    """Render all n tracks' current depths and return, per track, the min
-    depth over the OTHER tracks (+inf background) — one dispatch."""
+def _make_compose_dg():
     import functools
 
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(dG34, poses):
+        """pose_cm' = dG @ pose_cm for a (n,3,4) stack; dG34 (3,4) is the
+        relative camera transform G'_cw @ G (HIGHEST precision — rotation
+        roundoff would otherwise perturb every CEM init)."""
+        hp = functools.partial(jnp.einsum,
+                               precision=jax.lax.Precision.HIGHEST)
+        Rp = hp("ij,njk->nik", dG34[:, :3], poses[:, :, :3])
+        tp = hp("ij,nj->ni", dG34[:, :3], poses[:, :, 3]) + dG34[:, 3]
+        return jnp.concatenate([Rp, tp[:, :, None]], axis=2)
+
+    return run
+
+
+_compose_dg = _make_compose_dg()
+
+
+def _exclusive_min_depths(Vs, Fs, poses, mesh_idx, intr, tile, capacity,
+                          use_pallas, Cs=None):
+    """Render all n tracks' current depths and return, per track, the min
+    depth over the OTHER tracks (+inf background) — one dispatch."""
     return _exclusive_min_depths_jit(
-        Vs, Fs, poses, mesh_idx, intr=intr, tile=tile, capacity=capacity,
-        use_pallas=use_pallas)
+        Vs, Fs, poses, mesh_idx, Cs, intr=intr, tile=tile,
+        capacity=capacity, use_pallas=use_pallas)
 
 
 def _make_exclusive_min():
@@ -279,10 +515,10 @@ def _make_exclusive_min():
 
     @functools.partial(jax.jit, static_argnames=("intr", "tile", "capacity",
                                                  "use_pallas"))
-    def run(Vs, Fs, poses, mesh_idx, intr, tile, capacity, use_pallas):
+    def run(Vs, Fs, poses, mesh_idx, Cs, intr, tile, capacity, use_pallas):
         if use_pallas:
             d = rasterize_depth_chunked_multi(Vs, Fs, poses, mesh_idx,
-                                              intr, tile)
+                                              intr, tile, Cs=Cs)
         else:
             d = jax.vmap(
                 lambda m, p: rasterize_depth(Vs[m], Fs[m], p, intr, tile,
