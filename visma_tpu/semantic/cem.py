@@ -204,15 +204,6 @@ def _render_score_nS(Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt, obs,
         return poses, scores
 
     org = jnp.repeat(origins, S, axis=0)               # (n*S, 2)
-    if use_pallas:
-        depths = rasterize_depth_chunked_multi_roi(Vs, Fs, flat, mi, org,
-                                                   intr, roi, tile, Cs=Cs)
-    else:
-        depths = jax.vmap(
-            lambda m, p, o: rasterize_depth_roi(Vs[m], Fs[m], p, o, intr,
-                                                roi, tile, capacity)
-        )(mi, flat, org)
-    depths = depths.reshape(n, S, roi[0], roi[1])
     obs_mass = jnp.sum(obs)
     dt_w = jax.vmap(lambda o: _crop(dt, o, roi))(origins)
     obs_w = jax.vmap(lambda o: _crop(obs, o, roi))(origins)
@@ -233,11 +224,78 @@ def _render_score_nS(Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt, obs,
         occ_w = od.reshape(n, n - 1, roi[0], roi[1]).min(axis=1)
     else:
         occ_w = jax.vmap(lambda im, o: _crop(im, o, roi))(occ, origins)
+
+    if use_pallas:
+        # SCORE INSIDE THE RASTER SCAN, in groups of G poses: the scan
+        # would otherwise stack every hypothesis depth window into a
+        # (n*S, Hr, Wr) buffer whose per-pose dynamic-update is NOT
+        # in-place downstream of the pallas call — an xplane profile
+        # showed each pose's update fusion dragging the FULL buffer
+        # through HBM (~19 ms per 128-pose iteration, 3x the raster
+        # itself). With per-group scoring the scan's ys are (G,) scores
+        # and the depth windows die in registers/VMEM-sized tiles.
+        scores = _raster_score_grouped(
+            Vs, Fs, mesh_idx, flat, org, occ_w, dt_w, obs_w, obs_mass,
+            intr, roi, tile, tau, Cs, n, S)
+        return poses, scores
+    depths = jax.vmap(
+        lambda m, p, o: rasterize_depth_roi(Vs[m], Fs[m], p, o, intr,
+                                            roi, tile, capacity)
+    )(mi, flat, org)
+    depths = depths.reshape(n, S, roi[0], roi[1])
     scores = jax.vmap(
         lambda d, o, dw, ow: occlusion_aware_edge_score(
             d, o, dw, ow, tau=tau, obs_mass=obs_mass)
     )(depths, occ_w, dt_w, obs_w)
     return poses, scores
+
+
+def _raster_score_grouped(Vs, Fs, mesh_idx, flat, org, occ_w, dt_w, obs_w,
+                          obs_mass, intr, roi, tile, tau, Cs, n, S,
+                          group: int = 8):
+    """Fused ROI raster+score over n*S hypotheses: scan over groups of
+    `group` poses, each iteration rendering its windows with the chunked
+    pallas kernel and scoring them immediately (see _render_score_nS).
+    Returns (n, S) scores."""
+    from visma_tpu.render.raster import (_chunk_raster_call, _face_corners,
+                                         _prep_chunks_all, _roi_intr)
+
+    roi_intr = _roi_intr(intr, roi)
+    B = n * S
+    G = group
+    pad = (-B) % G
+    if Cs is None:
+        Cs = _face_corners(Vs, Fs)
+    mi_all = jnp.repeat(mesh_idx, S)
+    oid = jnp.repeat(jnp.arange(n), S)
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad, 3, 4), flat.dtype)])
+        org = jnp.concatenate([org, jnp.zeros((pad, 2), org.dtype)])
+        mi_all = jnp.concatenate([mi_all, jnp.zeros((pad,), mi_all.dtype)])
+        oid = jnp.concatenate([oid, jnp.zeros((pad,), oid.dtype)])
+    C = Cs[mi_all]
+    planes, ids, counts = _prep_chunks_all(C, flat, roi_intr, tile, 128,
+                                           origins=org)
+    call = _chunk_raster_call(roi_intr, Fs.shape[1], tile, 128, False)
+    nb = (B + pad) // G
+
+    def body(_, args):
+        cpl, idl, cnt, oids_g = args
+        inv = jnp.stack([call(cnt[g], idl[g], cpl[g]) for g in range(G)])
+        d = jnp.where(inv > 0, 1.0 / jnp.maximum(inv, 1e-12), jnp.inf)
+        d = d[:, :roi[0], :roi[1]]
+        sc = jax.vmap(lambda dd, o: occlusion_aware_edge_score(
+            dd[None], occ_w[o], dt_w[o], obs_w[o], tau=tau,
+            obs_mass=obs_mass)[0])(d, oids_g)
+        return None, sc
+
+    _, scores = jax.lax.scan(
+        body, None,
+        (planes.reshape(nb, G, *planes.shape[1:]),
+         ids.reshape(nb, G, *ids.shape[1:]),
+         counts.reshape(nb, G, *counts.shape[1:]),
+         oid.reshape(nb, G)))
+    return scores.reshape(-1)[:B].reshape(n, S)
 
 
 def _cem_fused_body(Vs, Fs, mesh_idx, R0, t0, sig0, occ, obs, key,
