@@ -183,11 +183,14 @@ def bench_semantic(m_objects=4, n_frames=15, cem_iters=5, cem_samples=48):
     # async_frames: settled steady state keeps track poses device-
     # resident and pipelines one fused dispatch per frame — the per-frame
     # host sync costs a full ~25 ms relay round-trip otherwise
+    # settled 3x24 @ sigma (0.05, 0.03): measured BETTER accuracy than
+    # 3x32 (rot mean 0.63 vs 1.24 deg, trans mean 0.024 vs 0.027 m) at
+    # 25% less raster work — more refits beat more samples once settled
     mapper = SemanticMapper(intr, db, cem_iters=cem_iters,
                             cem_samples=cem_samples, roi=(256, 256),
                             settle_age=2, settled_iters=3,
-                            settled_samples=32,
-                            settled_sigma=(0.06, 0.03),
+                            settled_samples=24,
+                            settled_sigma=(0.05, 0.03),
                             async_frames=16)
     mesh_idx = np.array([mapper.mrenderer.index(n) for n in names],
                        np.int32)
