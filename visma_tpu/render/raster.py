@@ -787,8 +787,15 @@ class MultiMeshRenderer:
         self.Cs: Optional[jnp.ndarray] = None
 
     def set_meshes(self, mesh_db) -> None:
-        """mesh_db: {name: (V, F)} (insertion order fixes indices)."""
+        """mesh_db: {name: (V, F)} (insertion order fixes indices).
+
+        Invalidates every executor that closed over the previous mesh
+        stack as compile-time constants (the fused-CEM cache, see
+        semantic.cem.fused_cem_executor) — swapping the database after a
+        CEM run would otherwise silently keep rendering the old meshes
+        (ADVICE r4 #1)."""
         self.names = list(mesh_db.keys())
+        self.__dict__.pop("_cem_exec_cache", None)
         self.Vs, self.Fs = pad_mesh_stack([mesh_db[n] for n in self.names])
         # precomputed per-face corners: keeps the V[F] gather out of the
         # per-dispatch path (see _face_corners)

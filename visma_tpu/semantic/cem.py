@@ -19,15 +19,25 @@ from visma_tpu.render.likelihood import (edge_distance_transform,
                                           occlusion_aware_edge_score,
                                           symmetric_edge_score)
 
+# Shared CEM schedule constants: the mapper's async fast path and the
+# public refine_pose_cem_batched defaults MUST agree (the documented
+# async==sync parity breaks silently otherwise; ADVICE r4 #5).
+CEM_TAU = 10.0
+CEM_ELITE_FRAC = 0.25
+
+
+def cem_n_elite(samples: int, elite_frac: float = CEM_ELITE_FRAC) -> int:
+    return max(2, int(samples * elite_frac))
+
 
 def refine_pose_cem(renderer, observed_edges: jnp.ndarray,
                     init_pose: np.ndarray,
                     iters: int = 6, samples: int = 64,
-                    elite_frac: float = 0.25,
+                    elite_frac: float = CEM_ELITE_FRAC,
                     init_sigma: Tuple[float, float] = (0.15, 0.08),
                     yaw_only: bool = False,
                     seed: int = 0,
-                    tau: float = 10.0,
+                    tau: float = CEM_TAU,
                     occluder_depth: Optional[jnp.ndarray] = None,
                     ) -> Tuple[np.ndarray, float]:
     """Refine a (3,4) or (4,4) model->camera pose against observed edges.
@@ -422,9 +432,9 @@ def fused_cem_executor(mrenderer, tau, iters, samples, n_elite, roi,
 def refine_pose_cem_batched(mrenderer, observed_edges: jnp.ndarray,
                             init_poses: np.ndarray, mesh_idx: np.ndarray,
                             iters: int = 6, samples: int = 48,
-                            elite_frac: float = 0.25,
+                            elite_frac: float = CEM_ELITE_FRAC,
                             init_sigma: Tuple[float, float] = (0.15, 0.08),
-                            seed: int = 0, tau: float = 10.0,
+                            seed: int = 0, tau: float = CEM_TAU,
                             occluder_depths: Optional[jnp.ndarray] = None,
                             device_loop: bool = True,
                             roi: Optional[Tuple[int, int]] = None,
@@ -452,6 +462,10 @@ def refine_pose_cem_batched(mrenderer, observed_edges: jnp.ndarray,
                min(int(roi[1]), mrenderer.intr.cols))
         if roi == (mrenderer.intr.rows, mrenderer.intr.cols):
             roi = None  # window >= frame: the plain path is the same
+    if occluder_poses is not None and np.asarray(init_poses).shape[0] == 1:
+        # a single object has no occluders; the occ_poses trace would
+        # _crop() a placeholder (1,1) array (ADVICE r4 #2)
+        occluder_poses = None
     if occluder_poses is not None and roi is None:
         raise ValueError("occluder_poses requires roi mode; pass "
                          "occluder_depths for full-frame refinement")

@@ -224,14 +224,17 @@ class SemanticMapper:
         G_cw = np.linalg.inv(G)
 
         if bboxes is not None:
+            # breaking the async steady state: refresh the host mirror
+            # first so _covered dedups and spawns against the freshest
+            # device-resident poses, not a mirror stale by up to
+            # async_frames-1 frames (ADVICE r4 #4)
+            self._sync_dev()
             for bb in bboxes.bounding_boxes:
                 if not self._covered(bb, gwc):
                     self._spawn(bb, gwc, edge_map)
 
         tracks = list(self.tracks.values())
         if tracks:
-            import jax.numpy as jnp
-
             settled = (self.settle_age >= 0 and
                        all(tr.age >= self.settle_age for tr in tracks))
             iters = (self.settled_iters if settled and self.settled_iters
@@ -248,6 +251,11 @@ class SemanticMapper:
                          and roi is not None and bboxes is None
                          and self._dev is not None
                          and self._dev["oids"] == oids)
+            if not can_async:
+                # falling back to the sync path while dispatches are
+                # pending: pull the device-resident refinements down so
+                # CEM re-initializes from them (ADVICE r4 #4)
+                self._sync_dev()
             if can_async:
                 self._step_async(tracks, G, G_cw, edge_map, iters, samples,
                                  sigma, roi)
@@ -269,7 +277,7 @@ class SemanticMapper:
             np.int32)
 
         need_occ = len(tracks) > 1 and self._footprints_may_overlap(
-            poses_cm, [tr.model_name for tr in tracks])
+            poses_cm, [tr.model_name for tr in tracks], sigma)
         occ = occ_poses = None
         if need_occ and roi is not None:
             # ROI mode: occluders render inside each track's window
@@ -318,7 +326,8 @@ class SemanticMapper:
         import jax
         import jax.numpy as jnp
 
-        from visma_tpu.semantic.cem import fused_cem_executor
+        from visma_tpu.semantic.cem import (CEM_TAU, cem_n_elite,
+                                            fused_cem_executor)
 
         dev = self._dev
         dG = (G_cw @ dev["G"])[:3, :4].astype(np.float32)
@@ -329,16 +338,19 @@ class SemanticMapper:
         mirror_cm = np.stack([(G_cw @ tr.pose_wm)[:3, :4]
                               for tr in tracks]).astype(np.float32)
         need_occ = len(tracks) > 1 and self._footprints_may_overlap(
-            mirror_cm, [tr.model_name for tr in tracks])
+            mirror_cm, [tr.model_name for tr in tracks], sigma)
 
         n = len(tracks)
-        n_elite = max(2, int(samples * 0.25))
+        # schedule constants shared with refine_pose_cem_batched's
+        # defaults (cem.CEM_TAU / cem_n_elite): the async and sync paths
+        # must not silently diverge (ADVICE r4 #5)
+        n_elite = cem_n_elite(samples)
         sig_key = ("sig", sigma, n)
         if dev.get(sig_key) is None:
             dev[sig_key] = jnp.asarray(np.tile(np.concatenate(
                 [np.full(3, sigma[1]), np.full(3, sigma[0])]
             ).astype(np.float32), (n, 1)))
-        run = fused_cem_executor(self.mrenderer, 10.0, iters, samples,
+        run = fused_cem_executor(self.mrenderer, CEM_TAU, iters, samples,
                                  n_elite, roi,
                                  "poses" if need_occ else "none")
         args = (dev["mi"], poses_dev[:, :, :3], poses_dev[:, :, 3],
@@ -400,13 +412,18 @@ class SemanticMapper:
             self.history[k] = out
 
     def _footprints_may_overlap(self, poses_cm: np.ndarray,
-                                names: List[str]) -> bool:
+                                names: List[str],
+                                sigma: Optional[tuple] = None) -> bool:
         """Conservative screen-space disjointness test: each object's
         model-frame AABB corners are projected at its current pose and the
-        screen rectangle is expanded by the 3-sigma CEM search radius.
+        screen rectangle is expanded by the 3-sigma CEM search radius —
+        translation sigma plus the rotational sigma times the object's
+        AABB half-diagonal, since a rotation perturbation moves extremal
+        points by up to sigma_rot*radius (ADVICE r4 #3). sigma: the
+        ACTIVE (rot, trans) schedule sigmas; defaults to init_sigma.
         True = some pair may overlap -> render occluder z-buffers. (Host
         arithmetic on 8 points per object — no dispatch.)"""
-        margin = 3.0 * self.init_sigma[1]
+        s_rot, s_trans = sigma if sigma is not None else self.init_sigma
         rects = []
         for pose, name in zip(poses_cm, names):
             lo, hi = self._mesh_aabb.get(
@@ -414,6 +431,8 @@ class SemanticMapper:
             corners = np.array([[x, y, z] for x in (lo[0], hi[0])
                                 for y in (lo[1], hi[1])
                                 for z in (lo[2], hi[2])])
+            half_diag = 0.5 * float(np.linalg.norm(np.asarray(hi) - lo))
+            margin = 3.0 * (s_trans + s_rot * half_diag)
             pc = corners @ np.asarray(pose[:3, :3]).T + pose[:3, 3]
             z = pc[:, 2]
             if np.any(z <= 0.1):
