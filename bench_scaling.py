@@ -20,6 +20,30 @@ import json
 import time
 
 
+def comm_floats_per_step(solver, total_poses, n, cg_iters=25,
+                         landmarks_per_device=512, halo=2):
+    """Analytic per-GN-step all-reduce payload (floats) each device
+    contributes, from the collectives actually issued (see
+    docs/SCALING_MODEL.md for the derivation and file:line cites)."""
+    K6 = 6 * total_poses
+    if solver == "dense":
+        # one psum of the reduced camera system S (6K,6K) + rhs b (6K)
+        # (dist/sharded_ba.py build_reduced_system -> psum)
+        return K6 * K6 + K6
+    if solver == "pcg":
+        # b + diag preconditioner psum once, then one 6K matvec psum per
+        # CG iteration (dist/pcg_ba.py _pcg_step)
+        return 2 * K6 + cg_iters * K6
+    if solver == "submap":
+        # zero during local solves; the stitch all-gathers chunk poses
+        # (6*Kc each) + owned landmark positions once per SOLVE (not per
+        # GN step) — amortized over the local iters it rounds to ~0; we
+        # report the stitch payload itself
+        Kc = total_poses // max(n, 1) + halo
+        return 6 * Kc + 3 * landmarks_per_device
+    raise ValueError(solver)
+
+
 def run_sweep(sizes, solvers, poses=16, landmarks_per_device=512,
               reps=5, cg_iters=25, submap_iters=4, verbose=True):
     """Returns {solver: {"points": [{devices, landmarks, poses, step_ms}],
@@ -33,8 +57,8 @@ def run_sweep(sizes, solvers, poses=16, landmarks_per_device=512,
     from visma_tpu.dist import make_mesh
     from visma_tpu.dist.pcg_ba import _pcg_step
     from visma_tpu.dist.sharded_ba import _jitted_step, _shard_problem
-    from visma_tpu.dist.submap_ba import _jitted_local_solver, \
-        split_into_chunks
+    from visma_tpu.dist.submap_ba import (_jitted_local_solver,
+                                          _local_solve, split_into_chunks)
 
     out = {"backend": jax.default_backend(),
            "devices_available": jax.device_count(),
@@ -42,45 +66,59 @@ def run_sweep(sizes, solvers, poses=16, landmarks_per_device=512,
     if jax.default_backend() == "cpu":
         # virtual CPU devices share one physical CPU: growing total work
         # with fixed silicon measures thread contention, not ICI. Real
-        # weak-scaling numbers require a pod slice; the comm payloads are
-        # dense: (6K)^2 floats/step, pcg: 6K floats/CG iter, submap: none
-        # during local solves (comm only at stitch).
+        # weak-scaling numbers require a pod slice; see
+        # docs/SCALING_MODEL.md for the measured-compute + modeled-ICI
+        # prediction that substantiates the BASELINE >=0.8 target.
         out["note"] = ("virtual-device run: harness/communication-structure "
-                       "validation, not an ICI measurement")
+                       "validation, not an ICI measurement; see "
+                       "docs/SCALING_MODEL.md")
 
-    def measure(solver, n, total_poses, total_landmarks):
-        """Step time (s) of `solver` on an n-device mesh over a problem
-        with the given TOTAL size."""
+    def build(solver, n, total_poses, total_landmarks, n_chunks=None):
+        """Build a run_once() closure for `solver` on an n-device mesh.
+
+        The n=1 'serial' variant runs the SAME decomposition as the
+        distributed run it is compared against (pass its chunk count via
+        n_chunks) sequentially on one device — the r4 harness gave submap
+        a single monolithic chunk at n=1, an O((6K)^3) different
+        algorithm, which made structural_efficiency read 5.9 (VERDICT r4
+        weak-item 3)."""
         mesh = make_mesh(n)
+        prob, _ = synthetic_ba_problem(
+            num_poses=total_poses, num_landmarks=total_landmarks,
+            noise_px=0.5, pose_noise=0.02)
         if solver == "submap":
-            prob, _ = synthetic_ba_problem(
-                num_poses=total_poses, num_landmarks=total_landmarks,
-                noise_px=0.5, pose_noise=0.02)
-            chunks, info = split_into_chunks(prob, n, halo=2)
+            n_chunks = n if n_chunks is None else n_chunks
+            chunks, info = split_into_chunks(prob, n_chunks, halo=2)
+            if n == 1 and n_chunks > 1:
+                # same chunks, solved sequentially on one device
+                step_fn = jax.jit(lambda ch: jax.lax.map(
+                    lambda c: _local_solve(c, submap_iters), ch))
+                local = jax.device_put(chunks)
+                return lambda: np.asarray(step_fn(local).p)
             sharded = jax.device_put(chunks, NamedSharding(mesh, P("d")))
             step_fn = _jitted_local_solver(mesh, submap_iters)
-
-            def run_once():
-                return np.asarray(step_fn(sharded).p)
+            return lambda: np.asarray(step_fn(sharded).p)
+        padded, L = _shard_problem(prob, mesh)
+        if solver == "dense":
+            step = _jitted_step(mesh)
         else:
-            prob, _ = synthetic_ba_problem(
-                num_poses=total_poses, num_landmarks=total_landmarks,
-                noise_px=0.5, pose_noise=0.02)
-            padded, L = _shard_problem(prob, mesh)
-            if solver == "dense":
-                step = _jitted_step(mesh)
-            else:
-                step = jax.jit(_pcg_step(mesh, cg_iters))
-            lam = jnp.asarray(1e-3, jnp.float32)
+            step = jax.jit(_pcg_step(mesh, cg_iters))
+        lam = jnp.asarray(1e-3, jnp.float32)
+        return lambda: np.asarray(step(padded, lam)[1])
 
-            def run_once():
-                return np.asarray(step(padded, lam)[1])
-
-        run_once()  # compile + warm
-        t = time.time()
+    def time_interleaved(fns):
+        """Best-of-`reps` per closure, reps INTERLEAVED across closures so
+        shared-pool/thread noise hits all variants alike (the r4 harness
+        timed serial and distributed in disjoint windows)."""
+        for fn in fns:
+            fn()  # compile + warm
+        best = [float("inf")] * len(fns)
         for _ in range(reps):
-            run_once()
-        return (time.time() - t) / reps
+            for i, fn in enumerate(fns):
+                t = time.time()
+                fn()
+                best[i] = min(best[i], time.time() - t)
+        return best
 
     for solver in solvers:
         pts = []
@@ -89,18 +127,26 @@ def run_sweep(sizes, solvers, poses=16, landmarks_per_device=512,
             # additionally grows the sequence — its SP axis)
             total_poses = poses * n if solver == "submap" else poses
             total_lm = landmarks_per_device * n
-            dt = measure(solver, n, total_poses, total_lm)
-            pt = {"devices": n, "poses": total_poses,
-                  "landmarks": total_lm, "step_ms": round(dt * 1e3, 2)}
+            fns = [build(solver, n, total_poses, total_lm)]
             if n > 1:
-                # structural efficiency: the SAME total problem on a
-                # 1-device mesh vs the n-device mesh. On virtual devices
-                # sharing one CPU this isolates distribution overhead
-                # (padding, collectives, stitch shape) from the silicon
-                # the devices share; on a real pod slice it additionally
-                # captures ICI time. >= 1 means distributing n-fold work
-                # over n devices costs no more than running it serially.
-                t1 = measure(solver, 1, total_poses, total_lm)
+                fns.append(build(solver, 1, total_poses, total_lm,
+                                 n_chunks=n))
+            times = time_interleaved(fns)
+            dt = times[0]
+            pt = {"devices": n, "poses": total_poses,
+                  "landmarks": total_lm, "step_ms": round(dt * 1e3, 2),
+                  "comm_floats_per_step": comm_floats_per_step(
+                      solver, total_poses, n, cg_iters,
+                      landmarks_per_device)}
+            if n > 1:
+                # structural efficiency: the SAME decomposition solved
+                # serially on one device vs distributed over the n-device
+                # mesh, interleaved best-of reps. On virtual devices the
+                # devices share one CPU, so ~1.0 means distribution adds
+                # no structural overhead (padding, collectives, stitch
+                # shape); residual >1 reflects XLA-CPU thread scheduling,
+                # not the algorithm (see docs/SCALING_MODEL.md).
+                t1 = times[1]
                 pt["serial_ms"] = round(t1 * 1e3, 2)
                 pt["structural_efficiency"] = round(t1 / max(dt, 1e-9), 4)
             pts.append(pt)

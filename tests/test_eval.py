@@ -183,6 +183,7 @@ class TestQuantitativeEvaluation:
                      "rotation_error.json", "augmented_view.ply"):
             assert os.path.exists(os.path.join(scene_dir, name)), name
 
+    @pytest.mark.slow
     def test_result_index_selects_packet(self, scene):
         """result_visualization.result_index plumbing (the reference consumes
         it at visualization.cpp:140-142; negative = last packet)."""
@@ -205,6 +206,7 @@ class TestQuantitativeEvaluation:
         metrics_bad = quantitative_evaluation(config)
         assert metrics_bad["surface"]["mean"] > 1.0
 
+    @pytest.mark.slow
     def test_reference_tool_json_end_to_end(self, scene, tmp_path):
         """cli/evaluate runs against a byte-for-byte copy of the reference's
         actual comment-bearing cfg/tool.json with only the path values

@@ -62,6 +62,7 @@ def _pose_err(pose34, T_wm):
     return t_err, r_err
 
 
+@pytest.mark.slow
 def test_images_to_result_json_to_metrics(tmp_path, capsys):
     cv2 = pytest.importorskip("cv2")
 

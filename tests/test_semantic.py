@@ -176,8 +176,14 @@ class TestShapeRetrieval:
         edges = np.asarray(r.render_edge(
             jnp.asarray(true_T[:3, :4].astype(np.float32))))
 
-        bb = BoundingBox(top_left_x=50, top_left_y=30, bottom_right_x=110,
-                         bottom_right_y=90)  # no shape_id
+        # tight detector-style bbox from the true render (the spawn's
+        # depth-from-height estimate reads the bbox height, so a loose
+        # hand-placed box would mis-scale the candidate depth)
+        ys, xs = np.nonzero(edges > 0.2)
+        bb = BoundingBox(top_left_x=float(xs.min()),
+                         top_left_y=float(ys.min()),
+                         bottom_right_x=float(xs.max()),
+                         bottom_right_y=float(ys.max()))  # no shape_id
         got = mapper.retrieve_shape(bb, edges)
         assert got is not None
         name, T_cm, score = got
@@ -208,8 +214,12 @@ class TestShapeRetrieval:
             jnp.asarray(true_T[:3, :4].astype(np.float32))))
         prob = np.full(12, 1e-3, np.float32)
         prob[int(yaw_true / (2 * np.pi) * 12)] = 1.0
-        bb = BoundingBox(top_left_x=50, top_left_y=30, bottom_right_x=110,
-                         bottom_right_y=90, azimuth_prob=prob)
+        ys, xs = np.nonzero(edges > 0.2)
+        bb = BoundingBox(top_left_x=float(xs.min()),
+                         top_left_y=float(ys.min()),
+                         bottom_right_x=float(xs.max()),
+                         bottom_right_y=float(ys.max()),
+                         azimuth_prob=prob)
         name, T_cm, _ = mapper.retrieve_shape(bb, edges)
         yaw_est = np.arctan2(T_cm[0, 2], T_cm[0, 0])
         dyaw = abs((yaw_est - yaw_true + np.pi) % (2 * np.pi) - np.pi)

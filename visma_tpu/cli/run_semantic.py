@@ -117,9 +117,13 @@ def main(argv=None):
                 jnp.asarray(pose_cm.astype(np.float32))))
             bl = None
             if i == 0:  # single detection, no shape_id -> retrieval path
+                # tight detector-style bbox from the frame's edges: the
+                # spawn depth comes from the bbox height
+                ys, xs = np.nonzero(edges > 0.2)
                 bl = BoundingBoxList(bounding_boxes=[BoundingBox(
-                    top_left_x=45, top_left_y=25, bottom_right_x=115,
-                    bottom_right_y=95, class_name="chair")])
+                    top_left_x=float(xs.min()), top_left_y=float(ys.min()),
+                    bottom_right_x=float(xs.max()),
+                    bottom_right_y=float(ys.max()), class_name="chair")])
             mapper.step(gwc, edges, bl)
 
         mapper.write_result_json(args.output)

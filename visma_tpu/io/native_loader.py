@@ -26,8 +26,16 @@ def _build() -> Optional[str]:
     if (not os.path.exists(so)
             or os.path.getmtime(so) < os.path.getmtime(src)):
         try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True)
+            import fcntl
+
+            # serialize concurrent builders (pytest-xdist workers all
+            # import on startup); the lock holder builds, the rest wait
+            with open(os.path.join(_NATIVE_DIR, ".build.lock"), "w") as fp:
+                fcntl.flock(fp, fcntl.LOCK_EX)
+                if (not os.path.exists(so) or
+                        os.path.getmtime(so) < os.path.getmtime(src)):
+                    subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                                   capture_output=True)
         except Exception:
             return None
     return so if os.path.exists(so) else None

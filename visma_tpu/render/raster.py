@@ -234,41 +234,144 @@ _TILE_W = 128      # output block cols = 4 subtiles = VPU lane width
 
 def _chunk_raster_kernel(counts_ref, ids_ref, planes_ref, out_ref, *,
                          ntx: int, chunk: int,
-                         inv_near: float, inv_far: float):
+                         inv_near: float, inv_far: float, sub_px: int):
+    """sub_px: binning subtile edge. 32 is the full-frame default; the
+    semantic ROI path uses 16 — the kernel is VPU-bound on
+    (subtile pixels x chunk triangles) pair evaluations, and a 16-px
+    subtile roughly halves the wasted coverage of a ~30-px chunk bbox
+    (measured 22 -> 12 ms per 96-pose CEM iteration on v5e)."""
     t = pl.program_id(0)
-    ty0 = ((t // ntx) * _TILE_H).astype(jnp.float32)
-    P = _SUB * _SUB
+    ty0 = (t // ntx) * _TILE_H
+    P = sub_px * sub_px
     pid = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-    pxl = (pid % _SUB).astype(jnp.float32)
-    pyl = (pid // _SUB).astype(jnp.float32) + ty0
+    pxl = (pid % sub_px).astype(jnp.float32)
+    pyl0 = (pid // sub_px).astype(jnp.float32)
 
-    nsub = _TILE_W // _SUB
-    for sub in range(nsub):                      # static unroll
-        st = t * nsub + sub                      # subtile id (row-major)
-        px = pxl + ((t % ntx) * _TILE_W + sub * _SUB).astype(jnp.float32)
+    nsy = _TILE_H // sub_px
+    nsx_blk = _TILE_W // sub_px
+    # subtile ids are row-major over the (image_rows/sub_px,
+    # image_cols/sub_px) grid — matching _prep_chunks_all's binning
+    nsx_img = ntx * nsx_blk
+    for sy in range(nsy):                        # static unroll
+        pyl = pyl0 + jnp.float32(ty0 + sy * sub_px)
+        for sx in range(nsx_blk):
+            st = ((ty0 // sub_px + sy) * nsx_img
+                  + (t % ntx) * nsx_blk + sx)    # subtile id (row-major)
+            px = pxl + ((t % ntx) * _TILE_W + sx * sub_px).astype(
+                jnp.float32)
 
-        def body(i, best):
-            c = planes_ref[ids_ref[st, i]]           # (16, chunk)
+            def body(i, best):
+                c = planes_ref[ids_ref[i, st]]           # (16, chunk)
 
-            def plane(k):
-                return (px * c[3 * k:3 * k + 1, :]
-                        + pyl * c[3 * k + 1:3 * k + 2, :]
-                        + c[3 * k + 2:3 * k + 3, :])  # (P, chunk)
+                def plane(k):
+                    return (px * c[3 * k:3 * k + 1, :]
+                            + pyl * c[3 * k + 1:3 * k + 2, :]
+                            + c[3 * k + 2:3 * k + 3, :])  # (P, chunk)
 
-            inside = plane(0) >= 0
-            inside &= plane(1) >= 0
-            inside &= plane(2) >= 0
-            iz = plane(3)
-            inside &= (iz > inv_far) & (iz < inv_near)
-            m = jnp.max(jnp.where(inside, iz, 0.0).reshape(
-                _SUB, _SUB, chunk), axis=-1)
-            return jnp.maximum(best, m)
+                inside = plane(0) >= 0
+                inside &= plane(1) >= 0
+                inside &= plane(2) >= 0
+                iz = plane(3)
+                inside &= (iz > inv_far) & (iz < inv_near)
+                m = jnp.max(jnp.where(inside, iz, 0.0).reshape(
+                    sub_px, sub_px, chunk), axis=-1)
+                return jnp.maximum(best, m)
 
-        # dynamic trip count: only the chunks whose screen bbox hits this
-        # subtile (packed id list from the batched prep) are ever touched.
-        out_ref[:, sub * _SUB:(sub + 1) * _SUB] = jax.lax.fori_loop(
-            0, counts_ref[st], body,
-            jnp.zeros((_SUB, _SUB), jnp.float32))
+            # dynamic trip count: only the chunks whose screen bbox hits
+            # this subtile (packed id list from the batched prep) are
+            # ever touched.
+            out_ref[sy * sub_px:(sy + 1) * sub_px,
+                    sx * sub_px:(sx + 1) * sub_px] = jax.lax.fori_loop(
+                0, counts_ref[st], body,
+                jnp.zeros((sub_px, sub_px), jnp.float32))
+
+
+def _chunk_raster_kernel_batched(counts_ref, ids_ref, planes_ref, out_ref,
+                                 *, ntx: int, chunk: int,
+                                 inv_near: float, inv_far: float,
+                                 sub_px: int):
+    """Pose-batched twin of _chunk_raster_kernel: grid (G, ntiles), pose g
+    renders from its own plane table / chunk lists. One pallas call covers
+    a whole pose group (fewer call boundaries; pose g+1's plane-table DMA
+    pipelines under pose g's compute)."""
+    g = pl.program_id(0)
+    t = pl.program_id(1)
+    ty0 = (t // ntx) * _TILE_H
+    P = sub_px * sub_px
+    pid = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    pxl = (pid % sub_px).astype(jnp.float32)
+    pyl0 = (pid // sub_px).astype(jnp.float32)
+
+    nsy = _TILE_H // sub_px
+    nsx_blk = _TILE_W // sub_px
+    nsx_img = ntx * nsx_blk
+    for sy in range(nsy):                        # static unroll
+        pyl = pyl0 + jnp.float32(ty0 + sy * sub_px)
+        for sx in range(nsx_blk):
+            st = ((ty0 // sub_px + sy) * nsx_img
+                  + (t % ntx) * nsx_blk + sx)    # subtile id (row-major)
+            px = pxl + ((t % ntx) * _TILE_W + sx * sub_px).astype(
+                jnp.float32)
+
+            def body(i, best):
+                c = planes_ref[0, ids_ref[g, i, st]]     # (16, chunk)
+
+                def plane(k):
+                    return (px * c[3 * k:3 * k + 1, :]
+                            + pyl * c[3 * k + 1:3 * k + 2, :]
+                            + c[3 * k + 2:3 * k + 3, :])  # (P, chunk)
+
+                inside = plane(0) >= 0
+                inside &= plane(1) >= 0
+                inside &= plane(2) >= 0
+                iz = plane(3)
+                inside &= (iz > inv_far) & (iz < inv_near)
+                m = jnp.max(jnp.where(inside, iz, 0.0).reshape(
+                    sub_px, sub_px, chunk), axis=-1)
+                return jnp.maximum(best, m)
+
+            out_ref[0, sy * sub_px:(sy + 1) * sub_px,
+                    sx * sub_px:(sx + 1) * sub_px] = jax.lax.fori_loop(
+                0, counts_ref[g, st], body,
+                jnp.zeros((sub_px, sub_px), jnp.float32))
+
+
+def _chunk_raster_call_batched(intr: Intrinsics, T: int, tile: int,
+                               chunk: int, interpret: bool, G: int,
+                               sub_px: int = _SUB):
+    """pallas_call rendering G poses per dispatch: grid (G, ntiles); takes
+    (counts (G, nsub), ids (G, nsub, nc), planes (G, nc, 16, chunk)) and
+    returns (G, nty*_TILE_H, ntx*_TILE_W) inverse depth in final layout.
+    ntiles iterates fastest, so pose g's plane table stays VMEM-resident
+    across its tiles and is double-buffered against pose g+1's. SMEM
+    bounds G: the whole (G, nsub, nc) id table is scalar-prefetched
+    (G=32 at ROI 256x256/5k faces already exceeds the 1 MB SMEM)."""
+    H, W = intr.rows, intr.cols
+    nty, ntx = -(-H // _TILE_H), -(-W // _TILE_W)
+    ntiles = nty * ntx
+    nc = (T + (-T) % chunk) // chunk
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G, ntiles),
+        in_specs=[
+            pl.BlockSpec((1, nc, 16, chunk), lambda g, t, *_: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _TILE_H, _TILE_W),
+                               lambda g, t, *_: (g, t // ntx, t % ntx),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_chunk_raster_kernel_batched, ntx=ntx,
+                          chunk=chunk,
+                          inv_near=1.0 / intr.z_near,
+                          inv_far=1.0 / intr.z_far, sub_px=sub_px),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((G, nty * _TILE_H, ntx * _TILE_W),
+                                       jnp.float32),
+        interpret=interpret,
+    )
 
 
 def _prep_chunks(V, F, pose, intr: Intrinsics, tile: int, chunk: int):
@@ -279,16 +382,18 @@ def _prep_chunks(V, F, pose, intr: Intrinsics, tile: int, chunk: int):
     return _prep_chunks_xy(xy, z, F, intr, tile, chunk)
 
 
-def _prep_chunks_xy(xy, z, F, intr: Intrinsics, tile: int, chunk: int):
+def _prep_chunks_xy(xy, z, F, intr: Intrinsics, tile: int, chunk: int,
+                    sub_px: int = _SUB):
     """_prep_chunks body on pre-projected screen coords — the ROI paths
     shift xy by a per-hypothesis window origin before binning. `tile` is
     accepted for signature stability but the chunked kernel's subtile
-    geometry (_SUB x _SUB over the _TILE_W-padded width) is what's
+    geometry (sub_px x sub_px over the _TILE_W-padded width) is what's
     binned against."""
     H, W = intr.rows, intr.cols
-    nty = -(-H // _TILE_H)
-    nsx = -(-W // _TILE_W) * (_TILE_W // _SUB)
+    nty = -(-H // _TILE_H) * (_TILE_H // sub_px)
+    nsx = -(-W // _TILE_W) * (_TILE_W // sub_px)
     ntiles = nty * nsx
+    _SUB = sub_px
     T = F.shape[0]
     pad = (-T) % chunk
     nc = (T + pad) // chunk
@@ -325,7 +430,11 @@ def _prep_chunks_xy(xy, z, F, intr: Intrinsics, tile: int, chunk: int):
 
     cpl = planes.reshape(nc, chunk, 12).transpose(0, 2, 1)
     cpl = jnp.pad(cpl, ((0, 0), (0, 4), (0, 0)))              # (nc,16,chunk)
-    return cpl, ids.astype(jnp.int32), counts
+    # ids ship (nc, ntiles): SMEM pads the MINOR dim to 128 lanes, so the
+    # id-list axis (nc ~ 41) must not be minor — the (ntiles, nc) layout
+    # cost a 3x padded SMEM footprint and overflowed the 1 MB SMEM for
+    # pose-batched calls (kernel reads ids_ref[i, st])
+    return cpl, ids.astype(jnp.int32).T, counts
 
 
 # ---------------------------------------------------------------------------
@@ -401,14 +510,17 @@ def _planes_batched(C, poses_cw, intr: Intrinsics, origins=None):
 
 
 def _prep_chunks_all(C, poses_cw, intr: Intrinsics, tile: int, chunk: int,
-                     origins=None):
+                     origins=None, sub_px: int = _SUB):
     """Batched _prep_chunks over B poses: C (B,T,3,3) face corners ->
     (planes (B,nc,16,chunk), ids (B,ntiles,nc) i32, counts (B,ntiles) i32).
+    sub_px: binning subtile edge, must match the kernel's (see
+    _chunk_raster_kernel).
     """
     H, W = intr.rows, intr.cols
-    nty = -(-H // _TILE_H)
-    nsx = -(-W // _TILE_W) * (_TILE_W // _SUB)
+    nty = -(-H // _TILE_H) * (_TILE_H // sub_px)
+    nsx = -(-W // _TILE_W) * (_TILE_W // sub_px)
     ntiles = nty * nsx
+    _SUB = sub_px  # local shadow: subtile extents below follow sub_px
     B, T = C.shape[:2]
     pad = (-T) % chunk
     nc = (T + pad) // chunk
@@ -441,7 +553,8 @@ def _prep_chunks_all(C, poses_cw, intr: Intrinsics, tile: int, chunk: int,
 
     cpl = planes.reshape(B, nc, chunk, 12).transpose(0, 1, 3, 2)
     cpl = jnp.pad(cpl, ((0, 0), (0, 0), (0, 4), (0, 0)))
-    return cpl, ids.astype(jnp.int32), counts
+    # ids ship (B, nc, ntiles) — see _prep_chunks_xy's SMEM layout note
+    return cpl, ids.astype(jnp.int32).transpose(0, 2, 1), counts
 
 
 def _face_corners(Vs: jnp.ndarray, Fs: jnp.ndarray) -> jnp.ndarray:
@@ -466,7 +579,7 @@ def face_corner_stack(Vs, Fs) -> np.ndarray:
 
 
 def _chunk_raster_call(intr: Intrinsics, T: int, tile: int, chunk: int,
-                       interpret: bool):
+                       interpret: bool, sub_px: int = _SUB):
     """Build the pallas_call for a given (image, facecount) geometry. The
     output is a per-pose (nty*_TILE_H, ntx*_TILE_W) inverse-depth image in
     FINAL layout: each grid step writes its lane-aligned strip block
@@ -491,7 +604,7 @@ def _chunk_raster_call(intr: Intrinsics, T: int, tile: int, chunk: int,
         functools.partial(_chunk_raster_kernel, ntx=ntx,
                           chunk=chunk,
                           inv_near=1.0 / intr.z_near,
-                          inv_far=1.0 / intr.z_far),
+                          inv_far=1.0 / intr.z_far, sub_px=sub_px),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((nty * _TILE_H, ntx * _TILE_W),
                                        jnp.float32),

@@ -25,6 +25,14 @@ from visma_tpu.render.likelihood import (edge_distance_transform,
 CEM_TAU = 10.0
 CEM_ELITE_FRAC = 0.25
 
+# Binning subtile edge for the ROI raster kernel: the kernel is VPU-bound
+# on (subtile pixels x chunk triangles) pair evaluations and object
+# footprints are dense inside their windows, so the finer 16-px subtile
+# roughly halves wasted coverage vs the full-frame default 32 (measured
+# 22 -> 12 ms per 96-hypothesis CEM iteration on v5e; bitwise-identical
+# output).
+ROI_SUB_PX = 16
+
 
 def cem_n_elite(samples: int, elite_frac: float = CEM_ELITE_FRAC) -> int:
     return max(2, int(samples * elite_frac))
@@ -149,10 +157,10 @@ def _crop(img, origin, roi):
 
 @functools.partial(jax.jit,
                    static_argnames=("intr", "tile", "capacity",
-                                    "use_pallas", "tau", "roi"))
+                                    "use_pallas", "tau", "roi", "radius"))
 def _cem_render_score(Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt, obs,
                       intr, tile, capacity, use_pallas, tau, roi=None,
-                      origins=None, Cs=None, occ_poses=None):
+                      origins=None, Cs=None, occ_poses=None, radius=2):
     """Render+score (n, S) hypotheses of n objects in one computation.
 
     Vs/Fs: padded mesh stack (render.raster.pad_mesh_stack);
@@ -165,12 +173,13 @@ def _cem_render_score(Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt, obs,
     return _render_score_nS(Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt,
                             obs, intr, tile, capacity, use_pallas, tau,
                             roi=roi, origins=origins, Cs=Cs,
-                            occ_poses=occ_poses)[1]
+                            occ_poses=occ_poses, radius=radius)[1]
 
 
 def _render_score_nS(Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt, obs,
                      intr, tile, capacity, use_pallas, tau,
-                     roi=None, origins=None, Cs=None, occ_poses=None):
+                     roi=None, origins=None, Cs=None, occ_poses=None,
+                     radius=2):
     """Shared body: render+score all (n, S) hypotheses. Returns
     (hyp34 (n,S,3,4), scores (n,S)).
 
@@ -190,7 +199,6 @@ def _render_score_nS(Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt, obs,
     """
     from visma_tpu.render.raster import (rasterize_depth,
                                          rasterize_depth_chunked_multi,
-                                         rasterize_depth_chunked_multi_roi,
                                          rasterize_depth_roi)
 
     n, S = xi.shape[:2]
@@ -209,7 +217,8 @@ def _render_score_nS(Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt, obs,
                                              capacity))(mi, flat)
         depths = depths.reshape(n, S, intr.rows, intr.cols)
         scores = jax.vmap(
-            lambda d, o: occlusion_aware_edge_score(d, o, dt, obs, tau=tau)
+            lambda d, o: occlusion_aware_edge_score(d, o, dt, obs, tau=tau,
+                                                    radius=radius)
         )(depths, occ)
         return poses, scores
 
@@ -224,8 +233,11 @@ def _render_score_nS(Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt, obs,
         om = mesh_idx[jnp.asarray(oi.reshape(-1))]
         oorg = jnp.repeat(origins, n - 1, axis=0)
         if use_pallas:
-            od = rasterize_depth_chunked_multi_roi(Vs, Fs, op, om, oorg,
-                                                   intr, roi, tile, Cs=Cs)
+            # ONE pose-batched pallas call for all n*(n-1) occluder
+            # windows (the per-pose scan cost ~0.24 ms/pose in call
+            # boundaries alone)
+            od = _raster_windows_batched(Vs, Fs, Cs, op, om, oorg, intr,
+                                         roi, tile)
         else:
             od = jax.vmap(
                 lambda m, p, o: rasterize_depth_roi(Vs[m], Fs[m], p, o,
@@ -246,7 +258,7 @@ def _render_score_nS(Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt, obs,
         # and the depth windows die in registers/VMEM-sized tiles.
         scores = _raster_score_grouped(
             Vs, Fs, mesh_idx, flat, org, occ_w, dt_w, obs_w, obs_mass,
-            intr, roi, tile, tau, Cs, n, S)
+            intr, roi, tile, tau, Cs, n, S, radius=radius)
         return poses, scores
     depths = jax.vmap(
         lambda m, p, o: rasterize_depth_roi(Vs[m], Fs[m], p, o, intr,
@@ -255,20 +267,46 @@ def _render_score_nS(Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt, obs,
     depths = depths.reshape(n, S, roi[0], roi[1])
     scores = jax.vmap(
         lambda d, o, dw, ow: occlusion_aware_edge_score(
-            d, o, dw, ow, tau=tau, obs_mass=obs_mass)
+            d, o, dw, ow, tau=tau, obs_mass=obs_mass, radius=radius)
     )(depths, occ_w, dt_w, obs_w)
     return poses, scores
 
 
+def _raster_windows_batched(Vs, Fs, Cs, poses, mesh_idx, origins, intr,
+                            roi, tile):
+    """Render B pose windows with ONE pose-batched pallas call. Returns
+    (B, roi[0], roi[1]) depth (+inf background)."""
+    from visma_tpu.render.raster import (_chunk_raster_call_batched,
+                                         _face_corners, _prep_chunks_all,
+                                         _roi_intr)
+
+    roi_intr = _roi_intr(intr, roi)
+    if Cs is None:
+        Cs = _face_corners(Vs, Fs)
+    C = Cs[mesh_idx]
+    planes, ids, counts = _prep_chunks_all(C, poses, roi_intr, tile, 128,
+                                           origins=origins,
+                                           sub_px=ROI_SUB_PX)
+    B = poses.shape[0]
+    call = _chunk_raster_call_batched(roi_intr, Fs.shape[1], tile, 128,
+                                      False, B, sub_px=ROI_SUB_PX)
+    inv = call(counts, ids, planes)
+    d = jnp.where(inv > 0, 1.0 / jnp.maximum(inv, 1e-12), jnp.inf)
+    return d[:, :roi[0], :roi[1]]
+
+
 def _raster_score_grouped(Vs, Fs, mesh_idx, flat, org, occ_w, dt_w, obs_w,
                           obs_mass, intr, roi, tile, tau, Cs, n, S,
-                          group: int = 8):
+                          group: int = 8, radius: int = 2):
     """Fused ROI raster+score over n*S hypotheses: scan over groups of
-    `group` poses, each iteration rendering its windows with the chunked
-    pallas kernel and scoring them immediately (see _render_score_nS).
-    Returns (n, S) scores."""
-    from visma_tpu.render.raster import (_chunk_raster_call, _face_corners,
-                                         _prep_chunks_all, _roi_intr)
+    `group` poses, each iteration rendering its windows with ONE pose-
+    batched pallas call (grid (G, ntiles)) and scoring them immediately
+    (see _render_score_nS). The r4 form unrolled G single-pose calls per
+    scan body; the per-call boundary cost (~0.24 ms/pose at ROI 256x256)
+    exceeded the raster arithmetic itself. Returns (n, S) scores."""
+    from visma_tpu.render.raster import (_chunk_raster_call_batched,
+                                         _face_corners, _prep_chunks_all,
+                                         _roi_intr)
 
     roi_intr = _roi_intr(intr, roi)
     B = n * S
@@ -285,18 +323,19 @@ def _raster_score_grouped(Vs, Fs, mesh_idx, flat, org, occ_w, dt_w, obs_w,
         oid = jnp.concatenate([oid, jnp.zeros((pad,), oid.dtype)])
     C = Cs[mi_all]
     planes, ids, counts = _prep_chunks_all(C, flat, roi_intr, tile, 128,
-                                           origins=org)
-    call = _chunk_raster_call(roi_intr, Fs.shape[1], tile, 128, False)
+                                           origins=org, sub_px=ROI_SUB_PX)
+    call = _chunk_raster_call_batched(roi_intr, Fs.shape[1], tile, 128,
+                                      False, G, sub_px=ROI_SUB_PX)
     nb = (B + pad) // G
 
     def body(_, args):
         cpl, idl, cnt, oids_g = args
-        inv = jnp.stack([call(cnt[g], idl[g], cpl[g]) for g in range(G)])
+        inv = call(cnt, idl, cpl)                            # (G, TH, TW)
         d = jnp.where(inv > 0, 1.0 / jnp.maximum(inv, 1e-12), jnp.inf)
         d = d[:, :roi[0], :roi[1]]
         sc = jax.vmap(lambda dd, o: occlusion_aware_edge_score(
             dd[None], occ_w[o], dt_w[o], obs_w[o], tau=tau,
-            obs_mass=obs_mass)[0])(d, oids_g)
+            obs_mass=obs_mass, radius=radius)[0])(d, oids_g)
         return None, sc
 
     _, scores = jax.lax.scan(
@@ -310,7 +349,7 @@ def _raster_score_grouped(Vs, Fs, mesh_idx, flat, org, occ_w, dt_w, obs_w,
 
 def _cem_fused_body(Vs, Fs, mesh_idx, R0, t0, sig0, occ, obs, key,
                     intr, tile, capacity, use_pallas, tau, iters, samples,
-                    n_elite, roi=None, Cs=None, occ_poses=None):
+                    n_elite, roi=None, Cs=None, occ_poses=None, radius=2):
     """The WHOLE batched CEM as one device computation: sampling, render,
     score, elite refit, and best-pose tracking run inside a lax.fori_loop
     — ONE dispatch per frame instead of one per CEM iteration (each
@@ -351,7 +390,7 @@ def _cem_fused_body(Vs, Fs, mesh_idx, R0, t0, sig0, occ, obs, key,
         hyp34, scores = _render_score_nS(
             Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt, obs,
             intr, tile, capacity, use_pallas, tau, roi=roi,
-            origins=origins, Cs=Cs, occ_poses=occ_poses)
+            origins=origins, Cs=Cs, occ_poses=occ_poses, radius=radius)
         order = jnp.argsort(scores, axis=1)
         top = order[:, 0]
         top_score = scores[idx, top]
@@ -380,11 +419,11 @@ def _cem_fused_body(Vs, Fs, mesh_idx, R0, t0, sig0, occ, obs, key,
 
 _cem_fused = functools.partial(jax.jit, static_argnames=(
     "intr", "tile", "capacity", "use_pallas", "tau", "iters", "samples",
-    "n_elite", "roi"))(_cem_fused_body)
+    "n_elite", "roi", "radius"))(_cem_fused_body)
 
 
 def fused_cem_executor(mrenderer, tau, iters, samples, n_elite, roi,
-                       occ_mode):
+                       occ_mode, radius=2):
     """Per-renderer cached jitted CEM executor with the mesh database
     (Vs/Fs/Cs) closed over as COMPILE-TIME CONSTANTS — see
     _cem_fused_body's note on why this matters. occ_mode selects the
@@ -394,7 +433,7 @@ def fused_cem_executor(mrenderer, tau, iters, samples, n_elite, roi,
     keyed by every static knob, so a mapper instance compiles each
     schedule once."""
     cache = mrenderer.__dict__.setdefault("_cem_exec_cache", {})
-    k = (tau, iters, samples, n_elite, roi, occ_mode)
+    k = (tau, iters, samples, n_elite, roi, occ_mode, radius)
     if k in cache:
         return cache[k]
     Vs, Fs, Cs = mrenderer.Vs, mrenderer.Fs, mrenderer.Cs
@@ -408,14 +447,14 @@ def fused_cem_executor(mrenderer, tau, iters, samples, n_elite, roi,
             return _cem_fused_body(Vs, Fs, mesh_idx, R0, t0, sig0, occ,
                                    obs, key, intr, tile, capacity,
                                    use_pallas, tau, iters, samples,
-                                   n_elite, roi, Cs, occ_poses)
+                                   n_elite, roi, Cs, occ_poses, radius)
     elif occ_mode == "depths":
         @jax.jit
         def run(mesh_idx, R0, t0, sig0, obs, key, occ):
             return _cem_fused_body(Vs, Fs, mesh_idx, R0, t0, sig0, occ,
                                    obs, key, intr, tile, capacity,
                                    use_pallas, tau, iters, samples,
-                                   n_elite, roi, Cs, None)
+                                   n_elite, roi, Cs, None, radius)
     else:
         @jax.jit
         def run(mesh_idx, R0, t0, sig0, obs, key):
@@ -424,7 +463,7 @@ def fused_cem_executor(mrenderer, tau, iters, samples, n_elite, roi,
             return _cem_fused_body(Vs, Fs, mesh_idx, R0, t0, sig0, occ,
                                    obs, key, intr, tile, capacity,
                                    use_pallas, tau, iters, samples,
-                                   n_elite, roi, Cs, None)
+                                   n_elite, roi, Cs, None, radius)
     cache[k] = run
     return run
 
@@ -439,6 +478,7 @@ def refine_pose_cem_batched(mrenderer, observed_edges: jnp.ndarray,
                             device_loop: bool = True,
                             roi: Optional[Tuple[int, int]] = None,
                             occluder_poses: Optional[np.ndarray] = None,
+                            radius: int = 2,
                             ):
     """Jointly refine n (3,4)/(4,4) model->camera poses of n objects.
 
@@ -483,17 +523,17 @@ def refine_pose_cem_batched(mrenderer, observed_edges: jnp.ndarray,
                 jax.random.PRNGKey(seed))
         if occluder_poses is not None:
             run = fused_cem_executor(mrenderer, tau, iters, samples,
-                                     n_elite, roi, "poses")
+                                     n_elite, roi, "poses", radius)
             pose, score = run(*args, jnp.asarray(
                 np.asarray(occluder_poses, np.float32).reshape(n, 3, 4)))
         elif occluder_depths is not None:
             run = fused_cem_executor(mrenderer, tau, iters, samples,
-                                     n_elite, roi, "depths")
+                                     n_elite, roi, "depths", radius)
             pose, score = run(*args,
                               jnp.asarray(occluder_depths, jnp.float32))
         else:
             run = fused_cem_executor(mrenderer, tau, iters, samples,
-                                     n_elite, roi, "none")
+                                     n_elite, roi, "none", radius)
             pose, score = run(*args)
         return np.asarray(pose), np.asarray(score)
     init_poses = np.asarray(init_poses, np.float32)
@@ -537,7 +577,7 @@ def refine_pose_cem_batched(mrenderer, observed_edges: jnp.ndarray,
             jnp.asarray(mean_t), jnp.asarray(xi), occ, dt, obs,
             mrenderer.intr, mrenderer.tile, mrenderer.capacity,
             mrenderer.use_pallas, tau, roi=roi, origins=origins,
-            Cs=mrenderer.Cs, occ_poses=occ_poses))  # (n,S)
+            Cs=mrenderer.Cs, occ_poses=occ_poses, radius=radius))  # (n,S)
 
         order = np.argsort(scores, axis=1)
         # host-side refit (numpy: zero extra dispatches)

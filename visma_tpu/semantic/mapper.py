@@ -56,7 +56,8 @@ class SemanticMapper:
                  settled_iters: Optional[int] = None,
                  settled_samples: Optional[int] = None,
                  settled_sigma: Optional[tuple] = None,
-                 async_frames: int = 0):
+                 async_frames: int = 0,
+                 coverage_radius: int = 2):
         """mesh_db: model_name -> (V, F).
 
         retrieval_yaws / azimuth_prior_weight control detection-driven
@@ -98,6 +99,12 @@ class SemanticMapper:
         self.settled_sigma = (None if settled_sigma is None else
                               (float(settled_sigma[0]),
                                float(settled_sigma[1])))
+        # coverage dilation radius (px) of the edge score: the score is
+        # flat over ~radius px of silhouette-scale slack, which maps to a
+        # depth slack of ~z*radius/footprint_px per object — radius=1
+        # halves the along-ray error the diagnostic decomposition showed
+        # dominating every object (tools/diag_semantic.py)
+        self.coverage_radius = int(coverage_radius)
         self.tracks: Dict[int, ObjectTrack] = {}
         self.mrenderer = MultiMeshRenderer(intr, capacity=128)
         self._mesh_aabb: Dict[str, tuple] = {}
@@ -113,15 +120,48 @@ class SemanticMapper:
         self._dev: Optional[dict] = None   # device-resident track state
         self._frame_no = 0
 
-    def _init_pose_cm(self, bbox) -> np.ndarray:
-        """Back-project the detection center at the depth prior."""
+    def _init_pose_cm(self, bbox, model_name: Optional[str] = None
+                      ) -> np.ndarray:
+        """Back-project the detection center at a depth estimate.
+
+        When the model is known, depth comes from the bbox height and the
+        model's physical height (z ~ fy * H_model / h_px — monocular
+        scale-from-detection; the detection is the papers' own spawn
+        signal, vlslam.proto bbox fields); otherwise the static
+        depth_prior. The spawn CEM closes the residual."""
         cx = 0.5 * (bbox.top_left_x + bbox.bottom_right_x)
         cy = 0.5 * (bbox.top_left_y + bbox.bottom_right_y)
+        h_px = abs(bbox.bottom_right_y - bbox.top_left_y)
         z = self.depth_prior
+        c0 = np.zeros(3)
+        if model_name in self._mesh_aabb and h_px > 4:
+            lo, hi = self._mesh_aabb[model_name]
+            c0 = 0.5 * (np.asarray(lo) + hi)   # model AABB center
+            # initial pinhole estimate, then Newton-refine against the
+            # PROJECTED AABB height: a 3D object's bbox spans more than
+            # fy*H/z (front corners sit closer than the centroid), which
+            # under-estimated depth by ~15-20% at the bench geometry.
+            # Yaw rotation is about y, so the model's y-extent (and this
+            # estimate) is yaw-invariant. The AABB CENTER (not the model
+            # origin, which can sit far off-center) is what lands on the
+            # detection's center ray.
+            z = float(np.clip(self.intr.fy * (hi[1] - lo[1]) / h_px,
+                              0.3, 0.9 * self.intr.z_far))
+            corners = np.array([[x, y, zz] for x in (lo[0], hi[0])
+                                for y in (lo[1], hi[1])
+                                for zz in (lo[2], hi[2])]) - c0
+            for _ in range(3):
+                c = corners + [(cx - self.intr.cx) / self.intr.fx * z,
+                               (cy - self.intr.cy) / self.intr.fy * z, z]
+                zc = np.maximum(c[:, 2], 0.1)
+                v = self.intr.fy * c[:, 1] / zc + self.intr.cy
+                h_proj = v.max() - v.min()
+                z = float(np.clip(z * h_proj / h_px, 0.3,
+                                  0.9 * self.intr.z_far))
         X_cam = np.array([(cx - self.intr.cx) / self.intr.fx * z,
                           (cy - self.intr.cy) / self.intr.fy * z, z])
         T_cm = np.eye(4)
-        T_cm[:3, 3] = X_cam
+        T_cm[:3, 3] = X_cam - c0
         return T_cm
 
     def retrieve_shape(self, bbox, edge_map):
@@ -143,7 +183,6 @@ class SemanticMapper:
             or list(self.mesh_db)
         if not cands:
             return None
-        T0 = self._init_pose_cm(bbox)
         B = self.retrieval_yaws
         yaws = np.arange(B) * (2 * np.pi / B)
         # rotate about the model/camera Y axis (same convention as the
@@ -156,7 +195,48 @@ class SemanticMapper:
         Ry[:, 2, 2] = cs
         Ry[:, 1, 1] = 1.0
         Ry[:, 3, 3] = 1.0
-        hyps = np.einsum("ij,bjk->bik", T0, Ry)[:, :3, :4]
+        # per-candidate depth from the bbox height + candidate's physical
+        # height (see _init_pose_cm) — candidates of different size test
+        # at their own consistent depth. Yaw rotates about each model's
+        # AABB CENTER (t = X_cam - Ry @ c0): composing T0 @ Ry would swing
+        # an off-center model (e.g. a chair whose origin sits at a leg)
+        # off the detection ray as yaw is enumerated.
+        T0s = [self._init_pose_cm(bbox, c) for c in cands]
+        hyp_list = []
+        for c, T0 in zip(cands, T0s):
+            lo, hi = self._mesh_aabb.get(
+                c, (np.full(3, -0.5), np.full(3, 0.5)))
+            c0 = 0.5 * (np.asarray(lo) + hi)
+            X_cam = T0[:3, 3] + c0
+            h = np.broadcast_to(np.eye(3, 4), (B, 3, 4)).copy()
+            h[:, :3, :3] = Ry[:, :3, :3]
+            h[:, :3, 3] = X_cam[None] - Ry[:, :3, :3] @ c0
+            hyp_list.append(h)
+        hyps = np.concatenate(hyp_list)
+
+        # bbox aspect consistency: every candidate is height-fitted to the
+        # detection, so a wrong-shape candidate becomes a scale-fitted
+        # decoy; the detection's WIDTH is independent evidence. Penalize
+        # |log(aspect_proj / aspect_bbox)| per (candidate, yaw) — host
+        # arithmetic on 8 AABB corners, no dispatch.
+        bb_w = max(abs(bbox.bottom_right_x - bbox.top_left_x), 1e-6)
+        bb_h = max(abs(bbox.bottom_right_y - bbox.top_left_y), 1e-6)
+        aspect_pen = np.zeros((len(cands), B), np.float32)
+        for ci, c in enumerate(cands):
+            lo, hi = self._mesh_aabb.get(
+                c, (np.full(3, -0.5), np.full(3, 0.5)))
+            corners = np.array([[x, y, z] for x in (lo[0], hi[0])
+                                for y in (lo[1], hi[1])
+                                for z in (lo[2], hi[2])])
+            for bi in range(B):
+                P = hyp_list[ci][bi]
+                pc = corners @ P[:, :3].T + P[:, 3]
+                zc = np.maximum(pc[:, 2], 0.1)
+                u = self.intr.fx * pc[:, 0] / zc
+                v = self.intr.fy * pc[:, 1] / zc
+                asp = (u.max() - u.min()) / max(v.max() - v.min(), 1e-6)
+                aspect_pen[ci, bi] = 2.0 * abs(
+                    np.log(max(asp, 1e-6) / (bb_w / bb_h)))
 
         prior = np.zeros(B, np.float32)
         ap = np.asarray(bbox.azimuth_prob, np.float32).ravel()
@@ -168,25 +248,39 @@ class SemanticMapper:
 
         em = jnp.asarray(edge_map)
         dt = edge_distance_transform(em)
+        # coverage LOCAL to the detection: only edges inside the (20%-
+        # expanded) bbox count as "this object's" evidence — with several
+        # objects in frame, full-frame coverage barely discriminates
+        # between candidate meshes (each explains ~1/n of global mass
+        # regardless of shape); the chamfer term still uses the full dt
+        H, W = self.intr.rows, self.intr.cols
+        mx = 0.2 * (bbox.bottom_right_x - bbox.top_left_x)
+        my = 0.2 * (bbox.bottom_right_y - bbox.top_left_y)
+        x0 = int(np.clip(bbox.top_left_x - mx, 0, W))
+        x1 = int(np.clip(bbox.bottom_right_x + mx, 0, W))
+        y0 = int(np.clip(bbox.top_left_y - my, 0, H))
+        y1 = int(np.clip(bbox.bottom_right_y + my, 0, H))
+        box_mask = np.zeros((H, W), np.float32)
+        box_mask[y0:y1, x0:x1] = 1.0
+        em_box = em * jnp.asarray(box_mask)
         # one dispatch over all (mesh, yaw) hypotheses
         idxs = np.array([self.mrenderer.index(n) for n in cands], np.int32)
         Mc = len(cands)
-        poses = np.tile(hyps, (Mc, 1, 1))                      # (Mc*B,3,4)
         mi = np.repeat(idxs, B)
         edges = self.mrenderer.render_edge(
-            jnp.asarray(poses, jnp.float32), jnp.asarray(mi))
-        scores = np.asarray(symmetric_edge_score(edges, dt, em)).reshape(
-            Mc, B) + prior[None, :]
+            jnp.asarray(hyps, jnp.float32), jnp.asarray(mi))
+        scores = np.asarray(symmetric_edge_score(edges, dt, em_box)
+                            ).reshape(Mc, B) + prior[None, :] + aspect_pen
         m, b = np.unravel_index(int(np.argmin(scores)), scores.shape)
         T = np.eye(4)
-        T[:3, :4] = hyps[b]
+        T[:3, :4] = hyps[m * B + b]
         return cands[m], T, float(scores[m, b])
 
     def _spawn(self, bbox, gwc: np.ndarray,
                edge_map=None) -> Optional[ObjectTrack]:
         name = bbox.shape_id or bbox.class_name
         if name in self.mesh_db:
-            T_cm = self._init_pose_cm(bbox)
+            T_cm = self._init_pose_cm(bbox, name)
         elif edge_map is not None:
             got = self.retrieve_shape(bbox, edge_map)
             if got is None:
@@ -300,7 +394,8 @@ class SemanticMapper:
             self.mrenderer, jnp.asarray(edge_map), poses_cm, mesh_idx,
             iters=iters, samples=samples, init_sigma=sigma,
             seed=min(tr.age for tr in tracks),
-            occluder_depths=occ, roi=roi, occluder_poses=occ_poses)
+            occluder_depths=occ, roi=roi, occluder_poses=occ_poses,
+            radius=self.coverage_radius)
         for i, tr in enumerate(tracks):
             T_cm = np.eye(4)
             T_cm[:3, :4] = refined[i]
@@ -352,7 +447,8 @@ class SemanticMapper:
             ).astype(np.float32), (n, 1)))
         run = fused_cem_executor(self.mrenderer, CEM_TAU, iters, samples,
                                  n_elite, roi,
-                                 "poses" if need_occ else "none")
+                                 "poses" if need_occ else "none",
+                                 self.coverage_radius)
         args = (dev["mi"], poses_dev[:, :, :3], poses_dev[:, :, 3],
                 dev[sig_key], jnp.asarray(edge_map, jnp.float32),
                 jax.random.PRNGKey(self._frame_no))
@@ -462,7 +558,12 @@ class SemanticMapper:
         G[:3, :4] = gwc
         G_cw = np.linalg.inv(G)
         for tr in self.tracks.values():
-            c_w = tr.pose_wm[:3, 3]
+            # project the model's AABB CENTER — the origin can sit far
+            # off-center (detections are centered on the visible extent)
+            lo, hi = self._mesh_aabb.get(
+                tr.model_name, (np.zeros(3), np.zeros(3)))
+            c0 = 0.5 * (np.asarray(lo) + hi)
+            c_w = tr.pose_wm[:3, :3] @ c0 + tr.pose_wm[:3, 3]
             c_c = G_cw[:3, :3] @ c_w + G_cw[:3, 3]
             if c_c[2] <= 0.1:
                 continue
