@@ -124,7 +124,7 @@ def bench_pipeline():
     return fps, ate
 
 
-def bench_semantic(m_objects=4, n_frames=35, cem_iters=5, cem_samples=48,
+def bench_semantic(m_objects=4, n_frames=37, cem_iters=5, cem_samples=48,
                    window=8):
     """Multi-object semantic mapping at VISMA geometry on REAL CAD-scale
     meshes: the reference's own 5k-face aeron chair
@@ -204,7 +204,7 @@ def bench_semantic(m_objects=4, n_frames=35, cem_iters=5, cem_samples=48,
                             settle_age=2, settled_iters=3,
                             settled_samples=24,
                             settled_sigma=(0.05, 0.03),
-                            async_frames=16)
+                            async_frames=16, roi_spawn=True)
     mesh_idx = np.array([mapper.mrenderer.index(n) for n in names],
                        np.int32)
 
@@ -254,14 +254,18 @@ def bench_semantic(m_objects=4, n_frames=35, cem_iters=5, cem_samples=48,
                 azimuth_prob=ap.astype(np.float32)))
         return BoundingBoxList(bounding_boxes=boxes)
 
-    # COLD pass: spawn + settle once so every executor variant compiles
-    # (full-frame spawn, ROI full, ROI settled, retrieval render)
+    # COLD phase: AOT-compile the executor variants CONCURRENTLY
+    # (mapper.warmup), then one spawn+settle pass for the residual jits
+    # (compose/crops/retrieval glue)
+    warmup = 5
     t0 = time.time()
-    for i in range(3):
+    aot_s = mapper.warmup(m_objects)
+    for i in range(warmup):
         mapper.step(gwc_at(i), edge_frames[i],
                     bboxes=gt_bboxes(i) if i == 0 else None)
     cold_s = time.time() - t0
-    log(f"semantic: cold spawn+settle (compile) {cold_s:.1f}s")
+    log(f"semantic: cold compile {cold_s:.1f}s (parallel AOT {aot_s:.1f}s "
+        f"+ residual)")
 
     # WARM re-spawn on the same mapper (executor caches persist): the
     # measured detection->spawn->settle path
@@ -269,7 +273,6 @@ def bench_semantic(m_objects=4, n_frames=35, cem_iters=5, cem_samples=48,
     mapper.history.clear()
     mapper._dev = None
     mapper._frame_no = 0
-    warmup = 3
     t_spawn = time.time()
     mapper.step(gwc_at(0), edge_frames[0], bboxes=gt_bboxes(0))
     spawn_ms = (time.time() - t_spawn) * 1e3
@@ -277,13 +280,14 @@ def bench_semantic(m_objects=4, n_frames=35, cem_iters=5, cem_samples=48,
     settle_frame = None
     for i in range(1, warmup):
         mapper.step(gwc_at(i), edge_frames[i])
+        mapper._sync_dev()
         errs = [float(np.linalg.norm(
             mapper.tracks[oid].pose_wm[:3, 3] - T_gt[k][:3, 3]))
             for k, oid in enumerate(spawn_order)]
         if settle_frame is None and max(errs) < 0.075:
             settle_frame = i
-    log(f"semantic: spawn frame {spawn_ms:.0f} ms (retrieval + full-frame "
-        f"CEM, {len(mapper.tracks)} tracks), settled by frame "
+    log(f"semantic: spawn frame {spawn_ms:.0f} ms (retrieval + windowed "
+        f"spawn CEM, {len(mapper.tracks)} tracks), settled by frame "
         f"{settle_frame} (<0.075 m)")
 
     # steady state: best-of over drained windows

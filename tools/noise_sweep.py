@@ -5,7 +5,7 @@ item 8): runs the full image pipeline over a grid of sensor-noise sigmas,
 an occluder on/off axis, and a MOTION-SCALE axis (orbit angular rate
 multiplier — drives per-frame feature displacement toward the fused-KLT
 window margin) on the adversarial generator, reporting ATE, the mean
-live-track count, and the measured mean/max per-frame feature
+track churn / lifetime, and the measured mean/max per-frame feature
 displacement. Writes a markdown table (default docs/NOISE_SWEEP.md).
 
     python tools/noise_sweep.py [--cpu] [--rows 240 --cols 320]
@@ -77,9 +77,26 @@ def run_point(syn, cfg, noise_sigma, occluders, levels=4, cell=32):
         ok = False
     p = np.asarray(outs["p"])
     ate = float(np.sqrt(np.mean(np.sum((p - gwc[1:, :, 3]) ** 2, axis=1))))
-    live = float(np.asarray(outs["obs_valid"]).sum(axis=1).mean())
+    # track CHURN and LIFETIME, not the live count: replenishment holds
+    # the live count pinned at capacity (96.0 in every r4 row), so it
+    # cannot distinguish healthy tracking from thrash (VERDICT r4 weak 7)
+    import collections
+
+    ids = np.asarray(outs["feat_ids"])
+    valid = np.asarray(outs["obs_valid"]) & (ids >= 0)
+    churn = []
+    cnt = collections.Counter()
+    for i in range(len(ids)):
+        cur = set(ids[i][valid[i]].tolist())
+        for t in cur:
+            cnt[t] += 1
+        if i + 1 < len(ids) and cur:
+            nxt = set(ids[i + 1][valid[i + 1]].tolist())
+            churn.append(len(cur - nxt) / len(cur))
+    churn_pct = 100.0 * float(np.mean(churn)) if churn else 0.0
+    med_life = float(np.median(list(cnt.values()))) if cnt else 0.0
     d_mean, d_p99 = _displacement_stats(syn, gwc, X)
-    return ate, live, ok, d_mean, d_p99
+    return ate, churn_pct, med_life, ok, d_mean, d_p99
 
 
 def main(argv=None):
@@ -122,11 +139,14 @@ def main(argv=None):
         for occluders in (0, 2):
             for ns in (0.0, 4.0, 8.0):
                 t0 = time.time()
-                ate, live, ok, dm, dp = run_point(syn, cfg, ns, occluders)
-                rows.append((motion, ns, occluders, ate, live, ok, dm, dp))
+                ate, churn, life, ok, dm, dp = run_point(syn, cfg, ns,
+                                                         occluders)
+                rows.append((motion, ns, occluders, ate, churn, life, ok,
+                             dm, dp))
                 print(f"motion={motion:3.1f} noise={ns:4.1f} "
                       f"occluders={occluders} ATE={ate * 100:6.2f} cm "
-                      f"live={live:5.1f} healthy={ok} "
+                      f"churn={churn:4.1f}%/fr med_life={life:4.0f}fr "
+                      f"healthy={ok} "
                       f"disp mean={dm:.1f} p99={dp:.1f} px "
                       f"({time.time() - t0:.0f}s)",
                       file=sys.stderr, flush=True)
@@ -149,12 +169,13 @@ def main(argv=None):
         "through the grid without loosening the bench ATE gate.",
         "",
         "| motion | noise sigma | occluders | disp mean (px) | "
-        "disp p99 (px) | ATE (cm) | live tracks | healthy |",
-        "|---|---|---|---|---|---|---|---|",
+        "disp p99 (px) | ATE (cm) | churn %/frame | med track life (fr) "
+        "| healthy |",
+        "|---|---|---|---|---|---|---|---|---|",
     ]
-    for mo, ns, occ, ate, live, ok, dm, dp in rows:
+    for mo, ns, occ, ate, churn, life, ok, dm, dp in rows:
         lines.append(f"| {mo:.1f} | {ns:.1f} | {occ} | {dm:.1f} | {dp:.1f} "
-                     f"| {ate * 100:.2f} | {live:.1f} |"
+                     f"| {ate * 100:.2f} | {churn:.1f} | {life:.0f} |"
                      f" {'yes' if ok else 'NO'} |")
     out = "\n".join(lines) + "\n"
     with open(args.output, "w") as fp:

@@ -909,6 +909,7 @@ class MultiMeshRenderer:
         (ADVICE r4 #1)."""
         self.names = list(mesh_db.keys())
         self.__dict__.pop("_cem_exec_cache", None)
+        self.__dict__.pop("_retr_exec_cache", None)
         self.Vs, self.Fs = pad_mesh_stack([mesh_db[n] for n in self.names])
         # precomputed per-face corners: keeps the V[F] gather out of the
         # per-dispatch path (see _face_corners)

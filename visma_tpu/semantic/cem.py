@@ -272,10 +272,23 @@ def _render_score_nS(Vs, Fs, mesh_idx, mean_R, mean_t, xi, occ, dt, obs,
     return poses, scores
 
 
+def _smem_group_cap(T_faces: int, roi) -> int:
+    """Largest pose-group whose scalar-prefetched (G, nc, nsub) id table
+    fits the ~1 MB SMEM (budget 600 KB; SMEM pads the second-minor dim to
+    8 — the minor dim is nsub, already large)."""
+    nc = (T_faces + (-T_faces) % 128) // 128
+    nsub = (-(-roi[0] // 32) * (32 // ROI_SUB_PX)
+            * -(-roi[1] // 128) * (128 // ROI_SUB_PX))
+    per_pose = (-(-nc // 8) * 8) * nsub * 4
+    return max(1, int(6e5 // max(per_pose, 1)))
+
+
 def _raster_windows_batched(Vs, Fs, Cs, poses, mesh_idx, origins, intr,
                             roi, tile):
-    """Render B pose windows with ONE pose-batched pallas call. Returns
-    (B, roi[0], roi[1]) depth (+inf background)."""
+    """Render B pose windows with pose-batched pallas calls, grouped so
+    the scalar-prefetched id tables fit SMEM (~1 MB; the whole (G, nc,
+    nsub) table is prefetched per call). Returns (B, roi[0], roi[1])
+    depth (+inf background)."""
     from visma_tpu.render.raster import (_chunk_raster_call_batched,
                                          _face_corners, _prep_chunks_all,
                                          _roi_intr)
@@ -288,11 +301,75 @@ def _raster_windows_batched(Vs, Fs, Cs, poses, mesh_idx, origins, intr,
                                            origins=origins,
                                            sub_px=ROI_SUB_PX)
     B = poses.shape[0]
+    G = min(B, _smem_group_cap(Fs.shape[1], roi))
     call = _chunk_raster_call_batched(roi_intr, Fs.shape[1], tile, 128,
-                                      False, B, sub_px=ROI_SUB_PX)
-    inv = call(counts, ids, planes)
+                                      False, G, sub_px=ROI_SUB_PX)
+    pad = (-B) % G
+    if pad:
+        planes = jnp.concatenate(
+            [planes, jnp.zeros((pad, *planes.shape[1:]), planes.dtype)])
+        ids = jnp.concatenate(
+            [ids, jnp.zeros((pad, *ids.shape[1:]), ids.dtype)])
+        counts = jnp.concatenate(
+            [counts, jnp.zeros((pad, *counts.shape[1:]), counts.dtype)])
+    nb = (B + pad) // G
+    if nb == 1:
+        inv = call(counts, ids, planes)
+    else:
+        _, inv = jax.lax.scan(
+            lambda _, a: (None, call(a[0], a[1], a[2])), None,
+            (counts.reshape(nb, G, *counts.shape[1:]),
+             ids.reshape(nb, G, *ids.shape[1:]),
+             planes.reshape(nb, G, *planes.shape[1:])))
+        inv = inv.reshape(nb * G, *inv.shape[2:])
     d = jnp.where(inv > 0, 1.0 / jnp.maximum(inv, 1e-12), jnp.inf)
-    return d[:, :roi[0], :roi[1]]
+    return d[:B, :roi[0], :roi[1]]
+
+
+def retrieval_executor(mrenderer, roi, B):
+    """Cached jitted executor for detection-driven shape retrieval:
+    render B (mesh, yaw) candidate windows at one shared origin and
+    score them against the window-cropped evidence. One dispatch —
+    the eager form cost ~50 small dispatches x ~25 ms relay RTT per
+    detection (measured 7.7 s for a 4-detection spawn frame). Keyed by
+    (roi, B) on the renderer; invalidated by set_meshes."""
+    cache = mrenderer.__dict__.setdefault("_retr_exec_cache", {})
+    k = (roi, B)
+    if k in cache:
+        return cache[k]
+    from visma_tpu.image.edges import depth_edge
+    from visma_tpu.render.raster import rasterize_depth_roi
+
+    Vs, Fs, Cs = mrenderer.Vs, mrenderer.Fs, mrenderer.Cs
+    intr, tile = mrenderer.intr, mrenderer.tile
+    capacity, use_pallas = mrenderer.capacity, mrenderer.use_pallas
+
+    @jax.jit
+    def run(hyps, mi, org1, dt, em, box):
+        """box = (x0, y0, x1, y1) f32: the coverage mask is built on
+        device from these scalars (a host-built (H, W) mask cost a
+        ~2 MB H2D through the relay per detection)."""
+        origins = jnp.broadcast_to(org1, (B, 2))
+        if use_pallas:
+            d = _raster_windows_batched(Vs, Fs, Cs, hyps, mi, origins,
+                                        intr, roi, tile)
+        else:
+            d = jax.vmap(
+                lambda m, p, o: rasterize_depth_roi(
+                    Vs[m], Fs[m], p, o, intr, roi, tile, capacity)
+            )(mi, hyps, origins)
+        edges = depth_edge(d)
+        dt_w = _crop(dt, org1, roi)
+        em_w = _crop(em, org1, roi)
+        yy = org1[1] + jnp.arange(roi[0], dtype=jnp.float32)[:, None]
+        xx = org1[0] + jnp.arange(roi[1], dtype=jnp.float32)[None, :]
+        in_box = ((xx >= box[0]) & (xx < box[2])
+                  & (yy >= box[1]) & (yy < box[3]))
+        return symmetric_edge_score(edges, dt_w,
+                                    jnp.where(in_box, em_w, 0.0))
+
+    cache[k] = run
+    return run
 
 
 def _raster_score_grouped(Vs, Fs, mesh_idx, flat, org, occ_w, dt_w, obs_w,
@@ -310,7 +387,7 @@ def _raster_score_grouped(Vs, Fs, mesh_idx, flat, org, occ_w, dt_w, obs_w,
 
     roi_intr = _roi_intr(intr, roi)
     B = n * S
-    G = group
+    G = max(1, min(group, _smem_group_cap(Fs.shape[1], roi)))
     pad = (-B) % G
     if Cs is None:
         Cs = _face_corners(Vs, Fs)

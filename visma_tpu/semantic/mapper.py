@@ -57,7 +57,8 @@ class SemanticMapper:
                  settled_samples: Optional[int] = None,
                  settled_sigma: Optional[tuple] = None,
                  async_frames: int = 0,
-                 coverage_radius: int = 2):
+                 coverage_radius: int = 2,
+                 roi_spawn: bool = False):
         """mesh_db: model_name -> (V, F).
 
         retrieval_yaws / azimuth_prior_weight control detection-driven
@@ -105,6 +106,14 @@ class SemanticMapper:
         # halves the along-ray error the diagnostic decomposition showed
         # dominating every object (tools/diag_semantic.py)
         self.coverage_radius = int(coverage_radius)
+        # roi_spawn: refine FRESH spawns in the ROI window too (age-0
+        # tracks normally go full-frame since their init error can exceed
+        # the window margin). Safe when spawns come from detections with
+        # depth-from-height init (error bounded ~0.15 m << window margin)
+        # — and it removes the full-frame CEM executor entirely (one
+        # fewer jit variant to compile; the spawn frame rasters ~5x
+        # fewer pixels).
+        self.roi_spawn = bool(roi_spawn)
         self.tracks: Dict[int, ObjectTrack] = {}
         self.mrenderer = MultiMeshRenderer(intr, capacity=128)
         self._mesh_aabb: Dict[str, tuple] = {}
@@ -119,6 +128,74 @@ class SemanticMapper:
         self.async_frames = int(async_frames)
         self._dev: Optional[dict] = None   # device-resident track state
         self._frame_no = 0
+
+    def warmup(self, n_objects: int, occ_modes=("poses",),
+               retrieval_candidates: Optional[int] = None,
+               max_workers: int = 3) -> float:
+        """AOT-compile the CEM/retrieval executors for an `n_objects`
+        scene CONCURRENTLY (each compile is a server-side XLA run through
+        the relay; three in flight overlap most of the wall time). The
+        executors land in the renderer caches, so the first real frames
+        skip straight to execution. Returns elapsed seconds.
+
+        occ_modes: which occlusion variants to warm ("poses" for
+        overlapping footprints in ROI mode, "none" for disjoint scenes).
+        retrieval_candidates: candidate meshes per detection to warm the
+        retrieval executor for (default: the whole database)."""
+        import concurrent.futures
+        import time as _time
+
+        import jax
+        import jax.numpy as jnp
+
+        from visma_tpu.semantic.cem import (CEM_TAU, cem_n_elite,
+                                            fused_cem_executor,
+                                            retrieval_executor)
+
+        t0 = _time.time()
+        n = int(n_objects)
+        H, W = self.intr.rows, self.intr.cols
+        scheds = [(self.cem_iters, self.cem_samples, self.init_sigma)]
+        if self.settled_iters and self.settled_samples:
+            scheds.append((self.settled_iters, self.settled_samples,
+                           self.settled_sigma or self.init_sigma))
+        jobs = []
+        for iters, samples, _sig in scheds:
+            for mode in occ_modes:
+                run = fused_cem_executor(
+                    self.mrenderer, CEM_TAU, iters, samples,
+                    cem_n_elite(samples), self.roi, mode,
+                    self.coverage_radius)
+                args = [jnp.zeros((n,), jnp.int32),
+                        jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
+                                         (n, 3, 3)),
+                        jnp.zeros((n, 3), jnp.float32),
+                        jnp.ones((n, 6), jnp.float32),
+                        jnp.zeros((H, W), jnp.float32),
+                        jax.random.PRNGKey(0)]
+                if mode == "poses":
+                    args.append(jnp.zeros((n, 3, 4), jnp.float32))
+                elif mode == "depths":
+                    args.append(jnp.zeros((n, H, W), jnp.float32))
+                jobs.append((run, tuple(args)))
+        if self.roi is not None and self.mesh_db:
+            mc = retrieval_candidates or len(self.mesh_db)
+            B = mc * self.retrieval_yaws
+            run = retrieval_executor(self.mrenderer, self.roi, B)
+            jobs.append((run, (jnp.zeros((B, 3, 4), jnp.float32),
+                               jnp.zeros((B,), jnp.int32),
+                               jnp.zeros((2,), jnp.float32),
+                               jnp.zeros((H, W), jnp.float32),
+                               jnp.zeros((H, W), jnp.float32),
+                               jnp.zeros((4,), jnp.float32))))
+
+        def compile_one(job):
+            run, args = job
+            run.lower(*args).compile()
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers) as ex:
+            list(ex.map(compile_one, jobs))
+        return _time.time() - t0
 
     def _init_pose_cm(self, bbox, model_name: Optional[str] = None
                       ) -> np.ndarray:
@@ -164,14 +241,19 @@ class SemanticMapper:
         T_cm[:3, 3] = X_cam - c0
         return T_cm
 
-    def retrieve_shape(self, bbox, edge_map):
+    def retrieve_shape(self, bbox, edge_map, dt=None):
         """Detection-driven CAD retrieval (the papers' detector->shape
         step; the reference only ships its OUTPUT as BoundingBox.shape_id,
         vlslam.proto azimuth/shape fields). For a detection with no usable
         shape_id: score every candidate mesh (class-substring filtered)
         over a yaw sweep at the back-projected detection pose in ONE
         batched render across ALL (mesh, yaw) pairs, with the detection's
-        azimuth distribution as a -log prior when present. Returns
+        azimuth distribution as a -log prior when present. dt: optionally
+        pass a precomputed edge_distance_transform(edge_map) (step()
+        shares one across all detections of a frame). When `roi` is set,
+        candidates render into a window centered on the detection instead
+        of the full frame (~5x fewer pixels; scoring masks coverage to
+        the window-clipped bbox, identical argmax semantics). Returns
         (name, pose_cm (4,4), score) or None if the database is empty."""
         import jax.numpy as jnp
 
@@ -247,7 +329,8 @@ class SemanticMapper:
             prior = -self.azimuth_prior_weight * np.log(p[bins] + 1e-3)
 
         em = jnp.asarray(edge_map)
-        dt = edge_distance_transform(em)
+        if dt is None:
+            dt = edge_distance_transform(em)
         # coverage LOCAL to the detection: only edges inside the (20%-
         # expanded) bbox count as "this object's" evidence — with several
         # objects in frame, full-frame coverage barely discriminates
@@ -260,29 +343,49 @@ class SemanticMapper:
         x1 = int(np.clip(bbox.bottom_right_x + mx, 0, W))
         y0 = int(np.clip(bbox.top_left_y - my, 0, H))
         y1 = int(np.clip(bbox.bottom_right_y + my, 0, H))
-        box_mask = np.zeros((H, W), np.float32)
-        box_mask[y0:y1, x0:x1] = 1.0
-        em_box = em * jnp.asarray(box_mask)
-        # one dispatch over all (mesh, yaw) hypotheses
         idxs = np.array([self.mrenderer.index(n) for n in cands], np.int32)
         Mc = len(cands)
-        mi = np.repeat(idxs, B)
-        edges = self.mrenderer.render_edge(
-            jnp.asarray(hyps, jnp.float32), jnp.asarray(mi))
-        scores = np.asarray(symmetric_edge_score(edges, dt, em_box)
-                            ).reshape(Mc, B) + prior[None, :] + aspect_pen
+        mi = jnp.asarray(np.repeat(idxs, B))
+        hyps_d = jnp.asarray(hyps, jnp.float32)
+        mr = self.mrenderer
+        if self.roi is not None:
+            # window centered on the detection: candidates render into
+            # (Hr, Wr) instead of the full frame; the scoring region is
+            # the window (same region for every candidate -> same argmax)
+            from visma_tpu.semantic.cem import retrieval_executor
+
+            Hr, Wr = self.roi
+            cx = 0.5 * (bbox.top_left_x + bbox.bottom_right_x)
+            cy = 0.5 * (bbox.top_left_y + bbox.bottom_right_y)
+            ox = float(np.clip(round(cx - Wr / 2), 0, W - Wr))
+            oy = float(np.clip(round(cy - Hr / 2), 0, H - Hr))
+            org1 = jnp.asarray([ox, oy], jnp.float32)
+            box = jnp.asarray([x0, y0, x1, y1], jnp.float32)
+            run = retrieval_executor(mr, (Hr, Wr), hyps.shape[0])
+            scores = np.asarray(run(hyps_d, mi, org1, dt, em, box)
+                                ).reshape(Mc, B) \
+                + prior[None, :] + aspect_pen
+        else:
+            # one full-frame dispatch over all (mesh, yaw) hypotheses
+            box_mask = np.zeros((H, W), np.float32)
+            box_mask[y0:y1, x0:x1] = 1.0
+            em_box = em * jnp.asarray(box_mask)
+            edges = mr.render_edge(hyps_d, mi)
+            scores = np.asarray(symmetric_edge_score(edges, dt, em_box)
+                                ).reshape(Mc, B) \
+                + prior[None, :] + aspect_pen
         m, b = np.unravel_index(int(np.argmin(scores)), scores.shape)
         T = np.eye(4)
         T[:3, :4] = hyps[m * B + b]
         return cands[m], T, float(scores[m, b])
 
     def _spawn(self, bbox, gwc: np.ndarray,
-               edge_map=None) -> Optional[ObjectTrack]:
+               edge_map=None, dt=None) -> Optional[ObjectTrack]:
         name = bbox.shape_id or bbox.class_name
         if name in self.mesh_db:
             T_cm = self._init_pose_cm(bbox, name)
         elif edge_map is not None:
-            got = self.retrieve_shape(bbox, edge_map)
+            got = self.retrieve_shape(bbox, edge_map, dt=dt)
             if got is None:
                 return None
             name, T_cm, _ = got
@@ -323,9 +426,21 @@ class SemanticMapper:
             # device-resident poses, not a mirror stale by up to
             # async_frames-1 frames (ADVICE r4 #4)
             self._sync_dev()
+            dt = None
             for bb in bboxes.bounding_boxes:
                 if not self._covered(bb, gwc):
-                    self._spawn(bb, gwc, edge_map)
+                    if (dt is None
+                            and (bb.shape_id or bb.class_name)
+                            not in self.mesh_db):
+                        # one distance transform shared by every
+                        # retrieval this frame (it depends only on the
+                        # observation)
+                        import jax.numpy as jnp
+
+                        from visma_tpu.render.likelihood import \
+                            edge_distance_transform
+                        dt = edge_distance_transform(jnp.asarray(edge_map))
+                    self._spawn(bb, gwc, edge_map, dt=dt)
 
         tracks = list(self.tracks.values())
         if tracks:
@@ -338,7 +453,8 @@ class SemanticMapper:
                        else self.cem_samples)
             sigma = (self.settled_sigma if settled and self.settled_sigma
                      else self.init_sigma)
-            roi = self.roi if all(tr.age >= 1 for tr in tracks) else None
+            roi = (self.roi if self.roi_spawn
+                   or all(tr.age >= 1 for tr in tracks) else None)
 
             oids = [tr.oid for tr in tracks]
             can_async = (self.async_frames > 0 and settled
