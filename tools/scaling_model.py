@@ -27,6 +27,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(__file__), "..",
                                    ".jax_cache"))
@@ -52,10 +54,17 @@ def allreduce_time(payload_bytes, n, alpha=ICI_ALPHA, W=ICI_W_BYTES,
 
 
 def measure_compute(poses, landmarks_per_device, cg_iters, submap_iters,
-                    reps=20):
+                    reps=10, amort=8):
     """Per-device GN-step compute time (s) for each solver at the
     per-device shard size, on THIS backend's single device (mesh size 1:
-    collectives are self-copies, so this isolates compute)."""
+    collectives are self-copies, so this isolates compute).
+
+    AMORTIZED: a single dispatch+sync includes the ~25-30 ms relay RTT
+    (CLAUDE.md), which would swamp millisecond-scale steps and overstate
+    the predicted efficiency. Each solver runs 1x and `amort`x chained
+    in-dispatch; t_step = (t_amort - t_1) / (amort - 1)."""
+    import functools
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -74,27 +83,39 @@ def measure_compute(poses, landmarks_per_device, cg_iters, submap_iters,
                                    noise_px=0.5, pose_noise=0.02)
     padded, _ = _shard_problem(prob, mesh)
     lam = jnp.asarray(1e-3, jnp.float32)
-    for name, step in (("dense", _jitted_step(mesh)),
-                       ("pcg", jax.jit(_pcg_step(mesh, cg_iters)))):
-        np.asarray(step(padded, lam)[1])   # compile + warm
+
+    def best_of(fn, *args):
+        np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])  # warm
         best = float("inf")
         for _ in range(reps):
             t = time.time()
-            np.asarray(step(padded, lam)[1])
+            np.asarray(jax.tree_util.tree_leaves(fn(*args))[0])
             best = min(best, time.time() - t)
-        out[name] = best
+        return best
+
+    for name, step in (("dense", _jitted_step(mesh)),
+                       ("pcg", jax.jit(_pcg_step(mesh, cg_iters)))):
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def multi(p, lam, k):
+            return jax.lax.fori_loop(
+                0, k, lambda i, pr: step(pr, lam)[0], p)
+
+        t1 = best_of(lambda: multi(padded, lam, 1))
+        tN = best_of(lambda: multi(padded, lam, amort))
+        out[name] = max((tN - t1) / (amort - 1), 1e-6)
 
     chunks, _ = split_into_chunks(prob, 1, halo=2)
     solver = _jitted_local_solver(mesh, submap_iters)
-    np.asarray(solver(chunks).p)
-    best = float("inf")
-    for _ in range(reps):
-        t = time.time()
-        np.asarray(solver(chunks).p)
-        best = min(best, time.time() - t)
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def multi_s(c, k):
+        return jax.lax.fori_loop(0, k, lambda i, cc: solver(cc), c)
+
+    t1 = best_of(lambda: multi_s(chunks, 1))
+    tN = best_of(lambda: multi_s(chunks, amort))
     # submap comm happens once per SOLVE (submap_iters GN steps): report
     # per-GN-step compute for comparability
-    out["submap"] = best / submap_iters
+    out["submap"] = max((tN - t1) / (amort - 1), 1e-6) / submap_iters
     return out
 
 
