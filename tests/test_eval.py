@@ -188,12 +188,18 @@ class TestQuantitativeEvaluation:
         """result_visualization.result_index plumbing (the reference consumes
         it at visualization.cpp:140-142; negative = last packet)."""
         config, T_true, scene_dir = scene
-        # prepend a garbage packet; default (-1) must still pick the last
+        # prepend a garbage packet; default (-1) must still pick the last.
+        # The garbage objects are SPREAD with distinct poses: a packet of
+        # identical poses is degenerate — registration can collapse it
+        # onto one GT object and the (reference-semantics) match-only
+        # error stats then look small.
         result = json.loads(open(os.path.join(scene_dir,
                                               "result.json")).read())
         bogus = [dict(obj) for obj in result[0]]
-        for obj in bogus:
-            obj["model_pose"] = list(np.eye(3, 4).ravel() * 50.0)
+        for k, obj in enumerate(bogus):
+            T = np.eye(3, 4)
+            T[:, 3] = [40.0 + 11.0 * k, -7.0 * k, 5.0]
+            obj["model_pose"] = list(T.ravel())
         (open(os.path.join(scene_dir, "result.json"), "w")
          .write(json.dumps([bogus] + result)))
 
