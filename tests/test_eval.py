@@ -237,3 +237,60 @@ class TestQuantitativeEvaluation:
         s = J.loads(open(os.path.join(scene_dir,
                                       "surface_error.json")).read())
         assert s["mean"] < 0.02
+
+
+class TestPmDistSoa:
+    def test_soa_matches_aos_oracle(self):
+        """The SoA/matmul point-to-mesh path (metrics._pm_dist) must match
+        the pairwise AoS oracle (metrics._pm_dist_aos): same argmin-exact
+        semantics, so distances agree to float tolerance everywhere,
+        including on-surface queries."""
+        import jax.numpy as jnp
+
+        from visma_tpu.eval.metrics import _pm_dist, _pm_dist_aos
+
+        rng = np.random.default_rng(5)
+        V, F = cube_mesh(1.0)
+        # random queries + exact on-surface samples (the cancellation-
+        # sensitive case) + vertices
+        q = np.concatenate([
+            rng.uniform(-2, 2, (64, 3)),
+            sample_mesh(V, F, 64, seed=3),
+            np.asarray(V)[:8],
+        ]).astype(np.float32)
+        A = jnp.asarray(V, jnp.float32)[jnp.asarray(F[:, 0])]
+        B = jnp.asarray(V, jnp.float32)[jnp.asarray(F[:, 1])]
+        C = jnp.asarray(V, jnp.float32)[jnp.asarray(F[:, 2])]
+        d_soa = np.asarray(_pm_dist(jnp.asarray(q), A, B, C, 64))
+        d_aos = np.asarray(_pm_dist_aos(jnp.asarray(q), A, B, C, 64))
+        np.testing.assert_allclose(np.sqrt(np.maximum(d_soa, 0)),
+                                   np.sqrt(np.maximum(d_aos, 0)),
+                                   atol=2e-5)
+
+    def test_soa_bound_on_dense_mesh(self):
+        """On a dense CAD-scale mesh the SoA path's documented
+        approximation floor applies: ranking ties near high-valence
+        vertices bound the worst case at ~1 mm, with the bulk at float
+        accuracy (see metrics._pm_dist docstring)."""
+        import jax.numpy as jnp
+
+        from visma_tpu.eval.metrics import _pm_dist, _pm_dist_aos
+        from visma_tpu.io.procedural import bench_mesh_db
+
+        V, F = bench_mesh_db()["chair"]
+        V = np.asarray(V, np.float32)
+        F = np.asarray(F)
+        q = np.concatenate([
+            np.random.default_rng(2).uniform(-1, 1, (512, 3)),
+            sample_mesh(V, F, 1024, seed=4),
+        ]).astype(np.float32)
+        A = jnp.asarray(V)[jnp.asarray(F[:, 0])]
+        B = jnp.asarray(V)[jnp.asarray(F[:, 1])]
+        C = jnp.asarray(V)[jnp.asarray(F[:, 2])]
+        d = np.sqrt(np.maximum(np.asarray(_pm_dist(jnp.asarray(q), A, B, C,
+                                                   512)), 0))
+        da = np.sqrt(np.maximum(np.asarray(_pm_dist_aos(jnp.asarray(q), A,
+                                                        B, C, 512)), 0))
+        err = np.abs(d - da)
+        assert err.max() < 1.5e-3, err.max()
+        assert err.mean() < 1e-5, err.mean()
