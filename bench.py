@@ -124,7 +124,7 @@ def bench_pipeline():
     return fps, ate
 
 
-def bench_semantic(m_objects=4, n_frames=37, cem_iters=5, cem_samples=48,
+def bench_semantic(m_objects=4, n_frames=45, cem_iters=5, cem_samples=48,
                    window=8):
     """Multi-object semantic mapping at VISMA geometry on REAL CAD-scale
     meshes: the reference's own 5k-face aeron chair

@@ -76,6 +76,21 @@ def main(argv=None):
                          "of this size around each object instead of the "
                          "full frame (exact while footprints fit; large "
                          "speedup at VISMA resolution)")
+    ap.add_argument("--roi-spawn", action="store_true",
+                    help="refine fresh detection spawns inside the ROI "
+                         "window too (depth-from-height init bounds the "
+                         "error; skips the full-frame executor)")
+    ap.add_argument("--settled", type=int, nargs=2, default=None,
+                    metavar=("ITERS", "SAMPLES"),
+                    help="annealed schedule once all tracks settle "
+                         "(e.g. 3 24); sigma anneals to (0.05, 0.03)")
+    ap.add_argument("--async-frames", type=int, default=0,
+                    help="device-resident settled steady state: pipeline "
+                         "one fused dispatch per frame, sync the host "
+                         "mirror every N frames (see SemanticMapper)")
+    ap.add_argument("--warmup-objects", type=int, default=0,
+                    help="AOT-compile the executor variants for this "
+                         "many objects before the first frame")
     args = ap.parse_args(argv)
 
     from visma_tpu.utils.platform import configure_platform
@@ -96,7 +111,15 @@ def main(argv=None):
         mapper = SemanticMapper(intr, db, depth_prior=args.depth_prior,
                                 cem_iters=args.cem_iters,
                                 cem_samples=args.cem_samples,
-                                roi=args.roi)
+                                roi=args.roi,
+                                roi_spawn=args.roi_spawn,
+                                settled_iters=(args.settled[0] if args.settled
+                                               else None),
+                                settled_samples=(args.settled[1]
+                                                 if args.settled else None),
+                                settled_sigma=((0.05, 0.03) if args.settled
+                                               else None),
+                                async_frames=args.async_frames)
 
         # ground truth: the L-mesh 2 m ahead, slightly off-axis
         true_T = np.eye(4)
@@ -149,8 +172,18 @@ def main(argv=None):
     db = _mesh_db(args.models)
     mapper = SemanticMapper(intr, db, depth_prior=args.depth_prior,
                             cem_iters=args.cem_iters,
-                            cem_samples=args.cem_samples, roi=args.roi)
+                            cem_samples=args.cem_samples, roi=args.roi,
+                            roi_spawn=args.roi_spawn,
+                            settled_iters=(args.settled[0] if args.settled
+                                           else None),
+                            settled_samples=(args.settled[1]
+                                             if args.settled else None),
+                            settled_sigma=((0.05, 0.03) if args.settled
+                                           else None),
+                            async_frames=args.async_frames)
 
+    if args.warmup_objects:
+        mapper.warmup(args.warmup_objects)
     n = len(loader)
     if args.max_frames:
         n = min(n, args.max_frames)
