@@ -90,35 +90,32 @@ def categorize(name):
 
 
 def parse_xplane(logdir):
-    """Sum device-op durations by category from the newest xplane.pb."""
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    """Sum device-op durations by category from the newest trace.json.gz
+    (the xplane proto bindings in this container fail to import; the
+    Chrome-trace export carries the same device op stream)."""
+    import json as _json
 
-    paths = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+    paths = sorted(glob.glob(os.path.join(logdir, "**", "*.trace.json.gz"),
                              recursive=True), key=os.path.getmtime)
     if not paths:
         return None, None
-    xs = xplane_pb2.XSpace()
-    with open(paths[-1], "rb") as fp:
-        xs.ParseFromString(fp.read())
+    with gzip.open(paths[-1]) as fp:
+        data = _json.load(fp)
+    ev = data.get("traceEvents", [])
+    dev_pids = {e["pid"] for e in ev
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in e.get("args", {}).get("name", "")}
     cats = {}
     ops = {}
     total = 0
-    for plane in xs.planes:
-        if "TPU" not in plane.name and "/device" not in plane.name.lower():
+    for e in ev:
+        if e.get("ph") != "X" or e.get("pid") not in dev_pids:
             continue
-        ev_meta = plane.event_metadata
-        for line in plane.lines:
-            lname = line.name.lower()
-            # only the op stream (XLA ops), skip steps/annotations
-            if "xla op" not in lname and "ops" != lname:
-                continue
-            for ev in line.events:
-                meta = ev_meta.get(ev.metadata_id)
-                nm = meta.name if meta else "?"
-                dur = ev.duration_ps / 1e6   # ps -> us
-                cats[categorize(nm)] = cats.get(categorize(nm), 0) + dur
-                ops[nm] = ops.get(nm, 0) + dur
-                total += dur
+        nm = e.get("name", "?")
+        dur = e.get("dur", 0)            # us
+        cats[categorize(nm)] = cats.get(categorize(nm), 0) + dur
+        ops[nm] = ops.get(nm, 0) + dur
+        total += dur
     return cats, sorted(ops.items(), key=lambda kv: -kv[1])[:25]
 
 
@@ -163,8 +160,8 @@ def main():
             print("no xplane found", file=sys.stderr)
         else:
             tot = sum(cats.values())
-            print(f"\ndevice op time over 3 dispatches: {tot/1e3:.2f} ms "
-                  f"({tot/3e3:.2f} ms/dispatch)")
+            print(f"\ndevice op time over 3 dispatches (nested ops "
+                  f"double-count): {tot/1e3:.2f} ms")
             for k, v in sorted(cats.items(), key=lambda kv: -kv[1]):
                 print(f"  {k:22s} {v/3e3:8.3f} ms/dispatch "
                       f"{100*v/tot:5.1f}%")

@@ -443,7 +443,13 @@ def _cem_fused_body(Vs, Fs, mesh_idx, R0, t0, sig0, occ, obs, key,
     while as constants it fuses cleanly. The generic jitted wrapper
     _cem_fused is kept for one-off callers and tests."""
     n = R0.shape[0]
-    dt = edge_distance_transform(obs)
+    # sweeps sized to the truncation: chamfer takes min(dt, tau), so any
+    # pixel farther than the propagation radius reads as big -> tau —
+    # identical scores; int(tau)+6 sweeps cover tau in euclidean distance
+    # with margin (a 1 px/iter 8-neighborhood relaxation reaches a
+    # distance-tau point within tau chebyshev steps). Halves the EDT's
+    # ~0.9 ms/frame at the default tau=10.
+    dt = edge_distance_transform(obs, iters=int(tau) + 6)
     idx = jnp.arange(n)
 
     def body(carry):
