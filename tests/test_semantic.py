@@ -528,3 +528,79 @@ class TestAsyncSteadyState:
         for oa, os_ in zip(packets[-1], sync_last):
             np.testing.assert_allclose(oa["model_pose"], os_["model_pose"],
                                        atol=5e-4)
+
+
+class TestRoiSpawnAndWarmup:
+    def _scene(self):
+        V, F = l_mesh()
+        gwc0 = np.hstack([np.eye(3), np.zeros((3, 1))])
+        r = Renderer(INTR, capacity=96)
+        r.set_mesh(V, F)
+        true_T = np.eye(4)
+        true_T[:3, 3] = [0.0, 0.0, 2.0]
+        edges = np.asarray(r.render_edge(
+            jnp.asarray(true_T[:3, :4].astype(np.float32))))
+        ys, xs = np.nonzero(edges > 0.2)
+        bl = BoundingBoxList(bounding_boxes=[BoundingBox(
+            top_left_x=float(xs.min()), top_left_y=float(ys.min()),
+            bottom_right_x=float(xs.max()), bottom_right_y=float(ys.max()),
+            class_name="lchair")])
+        return (V, F), gwc0, true_T, edges, bl
+
+    def test_roi_spawn_converges(self):
+        """roi_spawn refines the detection spawn inside the window from
+        birth (no full-frame CEM executor) and still converges."""
+        mesh, gwc0, true_T, edges, bl = self._scene()
+        mapper = SemanticMapper(INTR, {"lchair": mesh}, cem_iters=3,
+                                cem_samples=32, roi=(64, 128),
+                                roi_spawn=True)
+        for i in range(3):
+            mapper.step(gwc0, edges, bl if i == 0 else None)
+        tr = next(iter(mapper.tracks.values()))
+        err = np.linalg.norm(tr.pose_wm[:3, 3] - true_T[:3, 3])
+        assert err < 0.15, err
+
+    def test_warmup_matches_cold(self):
+        """warmup() AOT-compiles the executors it will use; results are
+        identical to the cold path (same executor cache keys)."""
+        mesh, gwc0, true_T, edges, bl = self._scene()
+
+        def run(warm):
+            mapper = SemanticMapper(INTR, {"lchair": mesh}, cem_iters=2,
+                                    cem_samples=16, roi=(64, 128),
+                                    roi_spawn=True, settled_iters=2,
+                                    settled_samples=8,
+                                    settled_sigma=(0.05, 0.03))
+            if warm:
+                dt = mapper.warmup(1, occ_modes=("none",))
+                assert dt > 0
+            for i in range(4):
+                mapper.step(gwc0, edges, bl if i == 0 else None)
+            return next(iter(mapper.tracks.values())).pose_wm
+
+    # n=1: the occluder path never triggers, so "none" covers it
+        np.testing.assert_allclose(run(True), run(False), atol=0.0)
+
+    def test_windowed_retrieval_matches_fullframe_pick(self):
+        """With roi set, retrieval renders into a detection-centered
+        window; the picked mesh and yaw bin must match the full-frame
+        retrieval (scores differ by the window restriction, the argmax
+        does not on a clean scene)."""
+        from tests.test_eval import cube_mesh
+
+        mesh, gwc0, true_T, edges, bl = self._scene()
+        Vo, Fo = cube_mesh(1.0)
+        Vo = Vo * np.array([0.2, 0.3, 0.2], np.float32)
+        db = {"lchair": mesh, "box": (Vo, Fo)}
+        bb = bl.bounding_boxes[0]
+        bb.class_name = "furniture"   # forces retrieval over both meshes
+
+        m_full = SemanticMapper(INTR, db, retrieval_yaws=12)
+        m_win = SemanticMapper(INTR, db, retrieval_yaws=12, roi=(64, 128))
+        name_f, T_f, _ = m_full.retrieve_shape(bb, edges)
+        name_w, T_w, _ = m_win.retrieve_shape(bb, edges)
+        assert name_f == name_w == "lchair"
+        yaw_f = np.arctan2(T_f[0, 2], T_f[0, 0])
+        yaw_w = np.arctan2(T_w[0, 2], T_w[0, 0])
+        dyaw = abs((yaw_f - yaw_w + np.pi) % (2 * np.pi) - np.pi)
+        assert dyaw < np.pi / 6 + 1e-6, dyaw
