@@ -662,30 +662,43 @@ class SemanticMapper:
                     return True
         return False
 
-    def _covered(self, bbox, gwc: np.ndarray) -> bool:
-        """Does an existing track project near this detection center?
-        The dedup radius scales with image width (80 px at the VISMA
-        960-col geometry) so small-resolution sequences can still hold
-        several objects."""
-        r = max(16.0, 80.0 * self.intr.cols / 960.0)
-        cx = 0.5 * (bbox.top_left_x + bbox.bottom_right_x)
-        cy = 0.5 * (bbox.top_left_y + bbox.bottom_right_y)
+    def _covered(self, bbox, gwc: np.ndarray, iou_thresh: float = 0.5
+                 ) -> bool:
+        """Does an existing track already explain this detection?
+
+        IoU between the detection box and each track's PROJECTED AABB
+        rectangle. (The r4 test used an 80-px center-distance radius,
+        which merged genuinely distinct adjacent objects — half the
+        random scenes in tools/spawn_sweep.py lost tracks to it; two
+        neighboring objects have distinct, partially-overlapping boxes
+        and IoU separates them.)"""
+        bx0, bx1 = sorted((bbox.top_left_x, bbox.bottom_right_x))
+        by0, by1 = sorted((bbox.top_left_y, bbox.bottom_right_y))
+        b_area = max(bx1 - bx0, 0.0) * max(by1 - by0, 0.0)
+        if b_area <= 0:
+            return True          # degenerate detection: nothing to spawn
         G = np.eye(4)
         G[:3, :4] = gwc
         G_cw = np.linalg.inv(G)
         for tr in self.tracks.values():
-            # project the model's AABB CENTER — the origin can sit far
-            # off-center (detections are centered on the visible extent)
             lo, hi = self._mesh_aabb.get(
-                tr.model_name, (np.zeros(3), np.zeros(3)))
-            c0 = 0.5 * (np.asarray(lo) + hi)
-            c_w = tr.pose_wm[:3, :3] @ c0 + tr.pose_wm[:3, 3]
-            c_c = G_cw[:3, :3] @ c_w + G_cw[:3, 3]
-            if c_c[2] <= 0.1:
-                continue
-            u = self.intr.fx * c_c[0] / c_c[2] + self.intr.cx
-            v = self.intr.fy * c_c[1] / c_c[2] + self.intr.cy
-            if abs(u - cx) < r and abs(v - cy) < r:
+                tr.model_name, (np.full(3, -0.5), np.full(3, 0.5)))
+            corners = np.array([[x, y, z] for x in (lo[0], hi[0])
+                                for y in (lo[1], hi[1])
+                                for z in (lo[2], hi[2])])
+            P = G_cw @ tr.pose_wm
+            pc = corners @ P[:3, :3].T + P[:3, 3]
+            z = pc[:, 2]
+            if np.any(z <= 0.1):
+                return True      # degenerate: be conservative
+            u = self.intr.fx * pc[:, 0] / z + self.intr.cx
+            v = self.intr.fy * pc[:, 1] / z + self.intr.cy
+            ix0, ix1 = max(u.min(), bx0), min(u.max(), bx1)
+            iy0, iy1 = max(v.min(), by0), min(v.max(), by1)
+            inter = max(ix1 - ix0, 0.0) * max(iy1 - iy0, 0.0)
+            t_area = (u.max() - u.min()) * (v.max() - v.min())
+            union = max(b_area + t_area - inter, 1e-6)
+            if inter / union > iou_thresh:
                 return True
         return False
 
