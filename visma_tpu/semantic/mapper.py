@@ -690,7 +690,9 @@ class SemanticMapper:
             pc = corners @ P[:3, :3].T + P[:3, 3]
             z = pc[:, 2]
             if np.any(z <= 0.1):
-                return True      # degenerate: be conservative
+                continue         # behind-camera track: it cannot explain
+                                 # an in-image detection (suppressing ALL
+                                 # spawns here would be wrong)
             u = self.intr.fx * pc[:, 0] / z + self.intr.cx
             v = self.intr.fy * pc[:, 1] / z + self.intr.cy
             ix0, ix1 = max(u.min(), bx0), min(u.max(), bx1)
